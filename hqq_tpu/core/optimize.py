@@ -1,0 +1,275 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Half-quadratic proximal solver for calibration-free weight quantization.
+
+Minimizes  ``|| W - dequant(quant(W)) ||_p^p``  (p < 1) over the zero-point
+(and optionally the scale) with an alternating scheme:
+
+    W_q  = round(W * scale + zero).clip(0, 2^n - 1)
+    W_r  = (W_q - zero) / scale
+    W_e  = shrink_lp(W - W_r, beta, p)               # generalized soft-threshold
+    zero = mean(W_q - (W - W_e) * scale, axis)       # closed-form zero update
+    beta = beta * kappa
+
+Semantics mirror the reference solver
+(`/root/reference/hqq/core/optimize.py:199-255`): the per-iteration error is
+measured *before* the zero update of that iteration, iteration stops the first
+time the error fails to improve, and the zero produced by the failing
+iteration's update is kept (no rollback). The reference runs this as an eager
+torch loop (fp16 on GPU / fp32 on CPU); here it is a single fused
+`lax.while_loop` that XLA keeps resident on-chip — and because every group is
+independent, one jitted call quantizes an entire weight (and, `vmap`-ped, a
+whole stack of layers) in one shot.
+
+Default hyper-parameters (must match the reference for PPL parity, see
+BASELINE.md): lp_norm=0.7, beta=10, kappa=1.01, iters=20.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+__all__ = [
+    "shrink_lp",
+    "optimize_weights_proximal",
+    "optimize_weights_proximal_v2",
+    "update_scale_grid_search",
+    "DEFAULT_OPT_PARAMS",
+]
+
+DEFAULT_OPT_PARAMS = dict(lp_norm=0.7, beta=1e1, kappa=1.01, iters=20)
+
+
+def shrink_lp(x: Array, beta: float, lp_norm: float) -> Array:
+    """Generalized soft-thresholding operator for the l_p (p<=1) prior.
+
+    p == 1:  sign(x) * relu(|x| - 1/beta)
+    p  < 1:  sign(x) * relu(|x| - (1/beta) * |x|^(p-1))
+    (reference: `/root/reference/hqq/core/optimize.py:96-108`)
+    """
+    ax = jnp.abs(x)
+    if lp_norm == 1:
+        thr = 1.0 / beta
+    else:
+        thr = (1.0 / beta) * jnp.power(ax, lp_norm - 1)
+    return jnp.sign(x) * jnp.maximum(ax - thr, 0.0)
+
+
+class _SolverState(NamedTuple):
+    i: Array  # iteration counter
+    zero: Array
+    beta: Array
+    best_error: Array
+    done: Array  # early-stop flag
+
+
+@functools.partial(
+    jax.jit, static_argnames=("axis", "lp_norm", "iters", "min_v", "max_v")
+)
+def _proximal_loop(
+    w_f: Array,
+    scale: Array,
+    zero: Array,
+    *,
+    min_v: float,
+    max_v: float,
+    axis: int,
+    lp_norm: float,
+    beta: float,
+    kappa: float,
+    iters: int,
+) -> Array:
+    """Run the alternating zero-point optimization; returns the final zero.
+
+    The scale is never updated by the legacy scheme, so only the zero-point is
+    carried through the loop.
+    """
+
+    def cond(s: _SolverState) -> Array:
+        return jnp.logical_and(s.i < iters, jnp.logical_not(s.done))
+
+    def body(s: _SolverState) -> _SolverState:
+        w_q = jnp.clip(jnp.round(w_f * scale + s.zero), min_v, max_v)
+        w_r = (w_q - s.zero) / scale
+        err = jnp.abs(w_f - w_r).mean()
+        w_e = shrink_lp(w_f - w_r, s.beta, lp_norm)
+        new_zero = jnp.mean(w_q - (w_f - w_e) * scale, axis=axis, keepdims=True)
+        improved = err < s.best_error
+        return _SolverState(
+            i=s.i + 1,
+            zero=new_zero,  # kept even on the failing iteration (ref semantics)
+            beta=s.beta * kappa,
+            best_error=jnp.minimum(err, s.best_error),
+            done=jnp.logical_not(improved),
+        )
+
+    init = _SolverState(
+        i=jnp.asarray(0, jnp.int32),
+        zero=zero,
+        beta=jnp.asarray(beta, w_f.dtype),
+        best_error=jnp.asarray(jnp.inf, jnp.float32),
+        done=jnp.asarray(False),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final.zero
+
+
+def optimize_weights_proximal(
+    tensor: Array,
+    scale: Array,
+    zero: Array,
+    min_max: tuple,
+    axis: int = 0,
+    opt_params: dict | None = None,
+    dtype=jnp.float32,
+) -> tuple[Array, Array, Array]:
+    """Default HQQ solver (≙ `optimize_weights_proximal_legacy`,
+    `/root/reference/hqq/core/optimize.py:208-255`).
+
+    Args:
+      tensor: grouped weight matrix W_f (float), groups along ``axis``.
+      scale:  *inverse* scale (W_q ≈ W*scale + zero), broadcastable over axis.
+      zero:   initial zero-point, same shape as scale.
+      min_max: (min_v, max_v) quantization code range.
+      axis:   0 or 1, the grouping axis.
+      opt_params: {lp_norm, beta, kappa, iters}.
+      dtype:  solver precision. fp32 by default (the reference uses fp16 on
+              CUDA / fp32 on CPU; fp32 strictly improves solver numerics).
+
+    Returns:
+      (W_q, scale, zero): integer codes (in ``dtype``), unchanged scale, and
+      optimized zero-point.
+    """
+    p = dict(DEFAULT_OPT_PARAMS, **(opt_params or {}))
+    min_v, max_v = float(min_max[0]), float(min_max[1])
+
+    w_f = tensor.astype(dtype)
+    scale = scale.astype(dtype)
+    zero = zero.astype(dtype)
+
+    zero = _proximal_loop(
+        w_f,
+        scale,
+        zero,
+        min_v=min_v,
+        max_v=max_v,
+        axis=axis,
+        lp_norm=float(p["lp_norm"]),
+        beta=float(p["beta"]),
+        kappa=float(p["kappa"]),
+        iters=int(p["iters"]),
+    )
+
+    w_q = jnp.clip(jnp.round(tensor.astype(dtype) * scale + zero), min_v, max_v)
+    return w_q, scale, zero
+
+
+def update_scale_grid_search(
+    w_f: Array,
+    scale: Array,
+    zero: Array,
+    axis: int,
+    min_max: tuple,
+    n_points: int = 129,
+) -> Array:
+    """Greedy local search over shifted scales, argmin of per-group L1 error
+    (≙ `/root/reference/hqq/core/optimize.py:53-92`). Vectorized over the
+    candidate axis instead of the reference's Python loop."""
+    assert n_points % 2 == 1, "n_points must be odd so the original scale is included"
+    rng_dump = 0.05
+    z_val = 2e-4
+
+    w_q = jnp.clip(jnp.round(w_f * scale + zero), min_max[0], min_max[1])
+    rng = jnp.abs(scale).mean() * rng_dump
+
+    shifts = jnp.linspace(-rng, rng, n_points).reshape(-1, *([1] * scale.ndim))
+    cand = shifts + scale[None]  # [N, *scale.shape]
+    # Safe inverse: clamp tiny magnitudes away from zero, keeping the sign.
+    cand = jnp.where(
+        jnp.abs(cand) <= z_val, jnp.where(cand >= 0, z_val, -z_val), cand
+    )
+
+    w_r = (w_q[None] - zero[None]) / cand  # [N, ...]
+    err = jnp.abs(w_f[None] - w_r).mean(axis=axis + 1, keepdims=True)  # [N, groups]
+    best = jnp.argmin(err, axis=0, keepdims=True)
+    return jnp.take_along_axis(cand, best, axis=0)[0]
+
+
+def optimize_weights_proximal_v2(
+    tensor: Array,
+    scale: Array,
+    zero: Array,
+    min_max: tuple,
+    axis: int = 0,
+    opt_params: dict | None = None,
+    dtype=jnp.float32,
+) -> tuple[Array, Array, Array]:
+    """Experimental solver with tolerance early-stop, best-state rollback and
+    optional scale grid search (≙ `/root/reference/hqq/core/optimize.py:112-196`)."""
+    defaults = dict(
+        lp_norm=0.7,
+        beta=1e1,
+        kappa=1.01,
+        iters=20,
+        tol=0.0,
+        early_stop=True,
+        scale_gridsearch=False,
+    )
+    p = dict(defaults, **(opt_params or {}))
+    lp_norm = max(float(p["lp_norm"]), 0.1)
+    min_v, max_v = float(min_max[0]), float(min_max[1])
+
+    w_f = tensor.astype(dtype)
+    scale = scale.astype(dtype)
+    zero = zero.astype(dtype)
+
+    if p["scale_gridsearch"]:
+        scale = update_scale_grid_search(w_f, scale, zero, axis, min_max)
+
+    def body(i, st):
+        scale_c, zero_c, best_err, best_scale, best_zero, beta, done = st
+        w_q = jnp.clip(jnp.round(w_f * scale_c + zero_c), min_v, max_v)
+        w_r = (w_q - zero_c) / scale_c
+        err = jnp.abs(w_f - w_r).mean().astype(jnp.float32)
+
+        improved = (best_err - err) > p["tol"]
+        if p["early_stop"]:
+            # Rollback semantics: on the first non-improving iteration, freeze
+            # the best (scale, zero) and stop updating.
+            newly_done = jnp.logical_or(done, jnp.logical_not(improved))
+            best_err = jnp.where(improved & ~done, err, best_err)
+            best_scale = jnp.where(improved & ~done, scale_c, best_scale)
+            best_zero = jnp.where(improved & ~done, zero_c, best_zero)
+        else:
+            newly_done = done
+
+        w_e = shrink_lp(w_f - w_r, beta, lp_norm)
+        new_zero = jnp.mean(w_q - (w_f - w_e) * scale_c, axis=axis, keepdims=True)
+        zero_c = jnp.where(newly_done, zero_c, new_zero)
+        if not p["early_stop"]:
+            # No rollback: track the running (post-update) state.
+            best_err, best_scale, best_zero = err, scale_c, zero_c
+        return (scale_c, zero_c, best_err, best_scale, best_zero, beta * p["kappa"], newly_done)
+
+    init = (
+        scale,
+        zero,
+        jnp.asarray(1e4, jnp.float32),
+        scale,
+        zero,
+        jnp.asarray(p["beta"], dtype),
+        jnp.asarray(False),
+    )
+    _, _, _, best_scale, best_zero, _, _ = jax.lax.fori_loop(
+        0, int(p["iters"]), body, init
+    )
+    # With early_stop=False, best_* track the running state, so this covers
+    # both modes.
+    scale, zero = best_scale, best_zero
+
+    w_q = jnp.clip(jnp.round(w_f * scale + zero), min_v, max_v)
+    return w_q, scale, zero

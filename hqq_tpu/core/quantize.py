@@ -1,0 +1,293 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Core HQQ quantizer — pure-functional, TPU-native.
+
+A quantized weight is an immutable pytree (`QTensor`) holding bit-packed
+integer codes plus per-group scale/zero-point; quantization and
+dequantization are pure, jittable functions. This replaces the reference's
+mutable `Quantizer` classmethods + meta dict
+(`/root/reference/hqq/core/quantize.py:36-248`) with a functional design that
+composes with `jax.jit` / `vmap` / `pjit`.
+
+Math (affine, asymmetric, per-group; reference `core/quantize.py:102-180`):
+
+    W grouped along axis: [-1, g] (axis=1) or [g, -1] (axis=0)
+    s_inv = (2^n - 1) / (max - min)       # guarded & clamped
+    zero  = -min * s_inv                   # optionally rounded (nbits==4)
+    W_q   = round(W * s_inv + zero).clip(0, 2^n - 1)   # optionally HQQ-optimized
+    stored scale = 1 / s_inv               # dequant is a multiply
+    dequant: (W_q - zero) * scale, reshaped to the original shape
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import warnings
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax import Array
+
+from . import bitpack
+from .optimize import optimize_weights_proximal
+
+__all__ = [
+    "QTensor",
+    "Quantizer",
+    "quantize",
+    "dequantize",
+    "BaseQuantizeConfig",
+    "SUPPORTED_BITS",
+    "BIT_TO_PACKING",
+]
+
+SUPPORTED_BITS = (8, 6, 5, 4, 3, 2, 1.58, 1)
+
+# Sub-byte widths without a dedicated container are stored in the next
+# available container (6/5 -> 8-bit, 1.58 -> 2-bit), matching the reference
+# (`core/quantize.py:40-49`).
+BIT_TO_PACKING = {
+    8: "8bit_u8",
+    6: "8bit_u8",
+    5: "8bit_u8",
+    4: "4bit_u8",
+    3: "3bit_32",
+    2: "2bit_u8",
+    1.58: "2bit_u8",
+    1: "1bit_u8",
+}
+
+
+def _canon_bits(nbits) -> float:
+    """Normalize an nbits value (int or float) to the canonical key."""
+    for b in SUPPORTED_BITS:
+        if float(nbits) == float(b):
+            return b
+    raise ValueError(f"nbits={nbits} not supported; choose from {SUPPORTED_BITS}")
+
+
+@struct.dataclass
+class QTensor:
+    """Bit-packed quantized tensor (a pytree; static metadata is hashable).
+
+    Arrays live in "group space": ``wq`` is the packed code matrix of the
+    grouped weight ([num_groups, g] for axis=1 / [g, num_groups] for axis=0),
+    and ``scale``/``zero`` broadcast against the *unpacked* grouped matrix.
+    """
+
+    wq: Array  # packed codes (uint8 / int32), or raw codes if packing is None
+    scale: Array  # dequant scale (multiplicative), group-space broadcast shape
+    zero: Array  # zero-point, same shape as scale
+
+    nbits: float = struct.field(pytree_node=False, default=4)
+    group_size: Optional[int] = struct.field(pytree_node=False, default=64)
+    axis: int = struct.field(pytree_node=False, default=1)
+    shape: tuple = struct.field(pytree_node=False, default=())
+    packing: Optional[str] = struct.field(pytree_node=False, default="4bit_u8")
+    compute_dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
+    channel_wise: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def out_features(self) -> int:
+        return self.shape[0]
+
+    @property
+    def in_features(self) -> int:
+        return self.shape[1]
+
+    @property
+    def nbytes(self) -> int:
+        return sum(
+            np.prod(a.shape) * a.dtype.itemsize for a in (self.wq, self.scale, self.zero)
+        )
+
+    def dequantize(self, dtype=None) -> Array:
+        return dequantize(self, dtype=dtype)
+
+    def astype(self, compute_dtype) -> "QTensor":
+        return dataclasses.replace(self, compute_dtype=compute_dtype)
+
+
+def _grouped_view(w: Array, group_size: Optional[int], channel_wise: bool, axis: int):
+    """Reshape to group space (reference `core/quantize.py:105-111`)."""
+    if group_size is not None and channel_wise:
+        return w.reshape(-1, group_size) if axis == 1 else w.reshape(group_size, -1)
+    return w
+
+
+def quantize(
+    w: Array,
+    nbits: float = 4,
+    channel_wise: bool = True,
+    group_size: Optional[int] = 64,
+    optimize: bool = True,
+    round_zero: bool = False,
+    axis: int = 1,
+    bitpack_weights: bool = True,
+    compute_dtype=jnp.bfloat16,
+    meta_dtype=jnp.float32,
+    opt_params: Optional[dict] = None,
+) -> QTensor:
+    """Quantize a 2-D weight matrix to an HQQ `QTensor`.
+
+    Mirrors `Quantizer.quantize` (`/root/reference/hqq/core/quantize.py:75-180`)
+    with the scale guard (denominator <= 1e-4 -> scale 1.0) and the 2e4 clamp.
+
+    Args:
+      meta_dtype: storage dtype for scale/zero. fp32 by default — on TPU the
+        matmul runs in bf16 whose 8-bit mantissa would add avoidable error to
+        the dequant affine if the meta were also bf16.
+    """
+    nbits = _canon_bits(nbits)
+    assert axis in (0, 1), "axis must be 0 or 1"
+    if group_size is not None:
+        assert w.size % group_size == 0, (
+            f"tensor size {w.shape} not divisible by group_size={group_size}"
+        )
+
+    shape = tuple(w.shape)
+    w_f = _grouped_view(jnp.asarray(w, jnp.float32), group_size, channel_wise, axis)
+
+    max_v = float(round(2**nbits - 1))
+    min_v = 0.0
+
+    if not channel_wise:
+        _min, _max = w_f.min(), w_f.max()
+        _min = _min.reshape(1, 1)
+        _max = _max.reshape(1, 1)
+        optimize = False
+    else:
+        _min = w_f.min(axis=axis, keepdims=True)
+        _max = w_f.max(axis=axis, keepdims=True)
+
+    denom = _max - _min
+    scale = max_v / denom
+    scale = jnp.where(jnp.abs(denom) <= 1e-4, jnp.ones_like(scale), scale)
+    scale = jnp.clip(scale, max=2e4)  # half-precision safety (ref :129)
+    zero = -_min * scale
+
+    if round_zero:
+        zero = jnp.round(zero)
+
+    if optimize:
+        w_q, scale, zero = optimize_weights_proximal(
+            w_f, scale, zero, (min_v, max_v), axis=axis, opt_params=opt_params
+        )
+    else:
+        w_q = jnp.clip(jnp.round(w_f * scale + zero), min_v, max_v)
+
+    # Store the inverse so dequantization is a fused multiply (ref :154).
+    scale = (1.0 / scale).astype(meta_dtype)
+    zero = zero.astype(meta_dtype)
+
+    packing: Optional[str] = BIT_TO_PACKING[nbits]
+    if bitpack_weights:
+        wq = bitpack.pack(w_q.astype(jnp.int32), packing)
+    else:
+        wq = w_q.astype(compute_dtype)
+        packing = None
+
+    return QTensor(
+        wq=wq,
+        scale=scale,
+        zero=zero,
+        nbits=nbits,
+        group_size=group_size,
+        axis=axis,
+        shape=shape,
+        packing=packing,
+        compute_dtype=compute_dtype,
+        channel_wise=channel_wise,
+    )
+
+
+def _logical_rows(qt: QTensor) -> int:
+    """Row count of the unpacked group-space matrix (pre-3-bit-padding)."""
+    if qt.group_size is None or not qt.channel_wise:
+        return qt.shape[0]
+    if qt.axis == 0:
+        return qt.group_size
+    return int(np.prod(qt.shape)) // qt.group_size
+
+
+def unpack_codes(qt: QTensor, dtype=jnp.float32) -> Array:
+    """Unpack `wq` to integer codes in group space (padding removed)."""
+    if qt.packing is None:
+        return qt.wq.astype(dtype)
+    w_r = bitpack.unpack(qt.wq, qt.packing, dtype)
+    rows = _logical_rows(qt)
+    if w_r.shape[0] != rows:  # 3-bit zero-padding (ref :190-195)
+        w_r = w_r[:rows]
+    return w_r
+
+
+def dequantize(qt: QTensor, dtype=None) -> Array:
+    """(W_q - zero) * scale, reshaped to the original weight shape
+    (≙ `Quantizer.dequantize`, `/root/reference/hqq/core/quantize.py:183-199`)."""
+    out_dtype = dtype if dtype is not None else qt.compute_dtype
+    w_r = unpack_codes(qt, qt.scale.dtype)
+    w_r = (w_r - qt.zero) * qt.scale
+    return w_r.reshape(qt.shape).astype(out_dtype)
+
+
+class Quantizer:
+    """Namespace mirroring the reference `Quantizer` classmethod API
+    (`/root/reference/hqq/core/quantize.py:36`) for familiarity; all methods
+    are pure functions on `QTensor`."""
+
+    SUPPORTED_BITS = SUPPORTED_BITS
+    bit_to_packing = BIT_TO_PACKING
+    quantize = staticmethod(quantize)
+    dequantize = staticmethod(dequantize)
+    unpack_codes = staticmethod(unpack_codes)
+
+
+def BaseQuantizeConfig(
+    nbits: float = 4,
+    group_size: Optional[int] = 64,
+    quant_zero: bool = False,
+    quant_scale: bool = False,
+    offload_meta: bool = False,
+    view_as_float: bool = False,
+    axis: int = 1,
+    round_zero: Optional[bool] = None,
+    optimize: bool = True,
+    compute_dtype=jnp.bfloat16,
+) -> dict:
+    """Build a quant config dict (≙ `/root/reference/hqq/core/quantize.py:1076-1155`).
+
+    `quant_zero`/`quant_scale` (meta-quantization) and `offload_meta` are
+    deprecated in the reference and ignored here; `view_as_float` is a torch
+    FSDP workaround with no JAX analogue (packed arrays are first-class pytree
+    leaves) and is likewise accepted-and-ignored.
+    """
+    nbits = _canon_bits(nbits)
+    if group_size is not None:
+        assert group_size % 8 == 0, "group_size must be a multiple of 8 (or None)"
+    if quant_zero or quant_scale:
+        warnings.warn(
+            "quant_zero/quant_scale (meta-quantization) are deprecated and ignored.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+    if offload_meta:
+        warnings.warn("offload_meta has no effect on TPU; ignored.", stacklevel=2)
+
+    weight_quant_params = {
+        "nbits": nbits,
+        "channel_wise": True,
+        "group_size": group_size,
+        "optimize": optimize,
+        "round_zero": (nbits == 4) if round_zero is None else round_zero,
+        "axis": axis,
+        "compute_dtype": compute_dtype,
+    }
+    return {
+        "weight_quant_params": weight_quant_params,
+        "scale_quant_params": None,
+        "zero_quant_params": None,
+        "offload_meta": False,
+    }
