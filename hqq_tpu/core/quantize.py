@@ -21,7 +21,7 @@ Math (affine, asymmetric, per-group; reference `core/quantize.py:102-180`):
 from __future__ import annotations
 
 import dataclasses
-import math
+import functools
 import warnings
 from typing import Any, Optional
 
@@ -118,46 +118,49 @@ def _grouped_view(w: Array, group_size: Optional[int], channel_wise: bool, axis:
     return w
 
 
-def quantize(
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nbits",
+        "channel_wise",
+        "group_size",
+        "optimize",
+        "round_zero",
+        "axis",
+        "bitpack_weights",
+        "meta_dtype",
+        "lp_norm",
+        "beta",
+        "kappa",
+        "iters",
+    ),
+)
+def _quantize_impl(
     w: Array,
-    nbits: float = 4,
-    channel_wise: bool = True,
-    group_size: Optional[int] = 64,
-    optimize: bool = True,
-    round_zero: bool = False,
-    axis: int = 1,
-    bitpack_weights: bool = True,
-    compute_dtype=jnp.bfloat16,
-    meta_dtype=jnp.float32,
-    opt_params: Optional[dict] = None,
-) -> QTensor:
-    """Quantize a 2-D weight matrix to an HQQ `QTensor`.
-
-    Mirrors `Quantizer.quantize` (`/root/reference/hqq/core/quantize.py:75-180`)
-    with the scale guard (denominator <= 1e-4 -> scale 1.0) and the 2e4 clamp.
-
-    Args:
-      meta_dtype: storage dtype for scale/zero. fp32 by default — on TPU the
-        matmul runs in bf16 whose 8-bit mantissa would add avoidable error to
-        the dequant affine if the meta were also bf16.
-    """
-    nbits = _canon_bits(nbits)
-    assert axis in (0, 1), "axis must be 0 or 1"
-    if group_size is not None:
-        assert w.size % group_size == 0, (
-            f"tensor size {w.shape} not divisible by group_size={group_size}"
-        )
-
-    shape = tuple(w.shape)
-    w_f = _grouped_view(jnp.asarray(w, jnp.float32), group_size, channel_wise, axis)
+    *,
+    nbits: float,
+    channel_wise: bool,
+    group_size: Optional[int],
+    optimize: bool,
+    round_zero: bool,
+    axis: int,
+    bitpack_weights: bool,
+    meta_dtype,
+    lp_norm: float,
+    beta: float,
+    kappa: float,
+    iters: int,
+):
+    """Single fused quantization graph: grouping, min/max, scale/zero init,
+    proximal solve, and bit-packing all stay on-device in one XLA program."""
+    w_f = _grouped_view(w.astype(jnp.float32), group_size, channel_wise, axis)
 
     max_v = float(round(2**nbits - 1))
     min_v = 0.0
 
     if not channel_wise:
-        _min, _max = w_f.min(), w_f.max()
-        _min = _min.reshape(1, 1)
-        _max = _max.reshape(1, 1)
+        _min = w_f.min().reshape(1, 1)
+        _max = w_f.max().reshape(1, 1)
         optimize = False
     else:
         _min = w_f.min(axis=axis, keepdims=True)
@@ -174,7 +177,12 @@ def quantize(
 
     if optimize:
         w_q, scale, zero = optimize_weights_proximal(
-            w_f, scale, zero, (min_v, max_v), axis=axis, opt_params=opt_params
+            w_f,
+            scale,
+            zero,
+            (min_v, max_v),
+            axis=axis,
+            opt_params=dict(lp_norm=lp_norm, beta=beta, kappa=kappa, iters=iters),
         )
     else:
         w_q = jnp.clip(jnp.round(w_f * scale + zero), min_v, max_v)
@@ -183,11 +191,67 @@ def quantize(
     scale = (1.0 / scale).astype(meta_dtype)
     zero = zero.astype(meta_dtype)
 
-    packing: Optional[str] = BIT_TO_PACKING[nbits]
     if bitpack_weights:
-        wq = bitpack.pack(w_q.astype(jnp.int32), packing)
+        wq = bitpack.pack(w_q.astype(jnp.int32), BIT_TO_PACKING[nbits])
     else:
-        wq = w_q.astype(compute_dtype)
+        wq = w_q
+    return wq, scale, zero
+
+
+def quantize(
+    w: Array,
+    nbits: float = 4,
+    channel_wise: bool = True,
+    group_size: Optional[int] = 64,
+    optimize: bool = True,
+    round_zero: bool = False,
+    axis: int = 1,
+    bitpack_weights: bool = True,
+    compute_dtype=jnp.bfloat16,
+    meta_dtype=jnp.float32,
+    opt_params: Optional[dict] = None,
+) -> QTensor:
+    """Quantize a 2-D weight matrix to an HQQ `QTensor`.
+
+    Mirrors `Quantizer.quantize` (`/root/reference/hqq/core/quantize.py:75-180`)
+    with the scale guard (denominator <= 1e-4 -> scale 1.0) and the 2e4 clamp,
+    but runs as ONE jitted XLA program per (shape, config) — grouping, solver
+    and packing never leave the device.
+
+    Args:
+      meta_dtype: storage dtype for scale/zero. fp32 by default — on TPU the
+        matmul runs in bf16 whose 8-bit mantissa would add avoidable error to
+        the dequant affine if the meta were also bf16.
+    """
+    nbits = _canon_bits(nbits)
+    assert axis in (0, 1), "axis must be 0 or 1"
+    if group_size is not None:
+        assert w.size % group_size == 0, (
+            f"tensor size {w.shape} not divisible by group_size={group_size}"
+        )
+
+    shape = tuple(w.shape)
+    p = dict(lp_norm=0.7, beta=1e1, kappa=1.01, iters=20, **(opt_params or {}))
+
+    wq, scale, zero = _quantize_impl(
+        jnp.asarray(w),
+        nbits=nbits,
+        channel_wise=channel_wise,
+        group_size=group_size,
+        optimize=optimize,
+        round_zero=round_zero,
+        axis=axis,
+        bitpack_weights=bitpack_weights,
+        meta_dtype=jnp.dtype(meta_dtype),
+        lp_norm=float(p["lp_norm"]),
+        beta=float(p["beta"]),
+        kappa=float(p["kappa"]),
+        iters=int(p["iters"]),
+    )
+
+    packing: Optional[str] = BIT_TO_PACKING[nbits]
+    if not bitpack_weights:
+        wq = wq.astype(compute_dtype)
         packing = None
 
     return QTensor(

@@ -1,0 +1,327 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Llama-class decoder (RMSNorm, RoPE, GQA attention, SwiGLU MLP) in pure
+functional JAX.
+
+≙ the reference's architecture wrappers (`/root/reference/hqq/models/hf/llama.py`,
+`mistral.py`) — but where the reference patches a torch HF model in place, the
+TPU build owns the forward pass: parameters are a pytree whose linear leaves
+are `Linear` / `QuantLinear` / `PallasQuantLinear` interchangeably, the whole
+step jits, and the KV cache is a static-shape pytree updated with
+`dynamic_update_slice` (≙ HF `StaticCache` in
+`/root/reference/hqq/utils/generation_hf.py:190-202`).
+
+Weight layout follows the HF checkpoint convention ([out, in] matrices,
+half-split RoPE) so HF Llama/Mistral checkpoints load directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import Array
+
+from ..nn.linear import Linear
+
+__all__ = ["LlamaConfig", "KVCache", "init_params", "forward", "init_cache"]
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    head_dim: Optional[int] = None
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    mlp_bias: bool = False
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_hf(cls, hf: dict) -> "LlamaConfig":
+        """Build from a HuggingFace config.json dict (Llama/Mistral-family)."""
+        return cls(
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["hidden_size"],
+            intermediate_size=hf["intermediate_size"],
+            num_hidden_layers=hf["num_hidden_layers"],
+            num_attention_heads=hf["num_attention_heads"],
+            num_key_value_heads=hf.get(
+                "num_key_value_heads", hf["num_attention_heads"]
+            ),
+            head_dim=hf.get("head_dim"),
+            max_position_embeddings=hf.get("max_position_embeddings", 4096),
+            rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+            rope_theta=hf.get("rope_theta", 10000.0),
+            tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            attention_bias=hf.get("attention_bias", False),
+            mlp_bias=hf.get("mlp_bias", False),
+        )
+
+    @classmethod
+    def llama2_7b(cls) -> "LlamaConfig":
+        return cls()
+
+    @classmethod
+    def llama3_8b(cls) -> "LlamaConfig":
+        return cls(
+            vocab_size=128256,
+            intermediate_size=14336,
+            num_key_value_heads=8,
+            rope_theta=500000.0,
+            max_position_embeddings=8192,
+        )
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 256) -> "LlamaConfig":
+        """2-layer truncated model for tests (≙ the reference test fixture,
+        `/root/reference/tests/test_quantize.py:185-203`)."""
+        return cls(
+            vocab_size=vocab_size,
+            hidden_size=256,
+            intermediate_size=512,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=512,
+        )
+
+
+# The model's quantizable linear tags, 1:1 with the reference's
+# (`/root/reference/hqq/models/hf/llama.py:11-21`). lm_head is excluded
+# (`models/base.py:43` _IGNORE_LINEAR).
+LINEAR_TAGS = (
+    "self_attn.q_proj",
+    "self_attn.k_proj",
+    "self_attn.v_proj",
+    "self_attn.o_proj",
+    "mlp.gate_proj",
+    "mlp.up_proj",
+    "mlp.down_proj",
+)
+
+
+def init_params(cfg: LlamaConfig, key: Array, dtype=jnp.bfloat16) -> dict:
+    """Random-init parameter pytree in HF naming (for tests/benchmarks)."""
+    k_iter = iter(jax.random.split(key, 4 + 7 * cfg.num_hidden_layers))
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+
+    def lin(out_f, in_f):
+        w = jax.random.normal(next(k_iter), (out_f, in_f), jnp.float32)
+        return Linear(weight=(w / jnp.sqrt(in_f)).astype(dtype))
+
+    layers = []
+    for _ in range(cfg.num_hidden_layers):
+        layers.append(
+            {
+                "self_attn": {
+                    "q_proj": lin(nh * hd, d),
+                    "k_proj": lin(nkv * hd, d),
+                    "v_proj": lin(nkv * hd, d),
+                    "o_proj": lin(d, nh * hd),
+                },
+                "mlp": {
+                    "gate_proj": lin(f, d),
+                    "up_proj": lin(f, d),
+                    "down_proj": lin(d, f),
+                },
+                "input_layernorm": jnp.ones((d,), dtype),
+                "post_attention_layernorm": jnp.ones((d,), dtype),
+            }
+        )
+    embed = (
+        jax.random.normal(next(k_iter), (cfg.vocab_size, d), jnp.float32) * 0.02
+    ).astype(dtype)
+    params = {
+        "embed_tokens": embed,
+        "layers": layers,
+        "norm": jnp.ones((d,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = lin(cfg.vocab_size, d)
+    return params
+
+
+@struct.dataclass
+class KVCache:
+    """Static-shape KV cache: k/v are [L, B, n_kv, S_max, head_dim]."""
+
+    k: Array
+    v: Array
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+
+def init_cache(
+    cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> KVCache:
+    shape = (
+        cfg.num_hidden_layers,
+        batch,
+        cfg.num_key_value_heads,
+        max_len,
+        cfg.head_dim_,
+    )
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def rms_norm(x: Array, w: Array, eps: float) -> Array:
+    dt = x.dtype
+    x = x.astype(jnp.float32)
+    x = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    return (x * w.astype(jnp.float32)).astype(dt)
+
+
+def _rope_cos_sin(positions: Array, head_dim: int, theta: float) -> Tuple[Array, Array]:
+    """HF-convention rotary tables: [T, head_dim] with duplicated halves."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _apply_rope(x: Array, cos: Array, sin: Array) -> Array:
+    """x: [B, H, T, hd]; HF 'rotate_half' convention."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin).astype(
+        x.dtype
+    )
+
+
+def _attention(
+    layer: dict,
+    cfg: LlamaConfig,
+    x: Array,
+    cache_k: Array,
+    cache_v: Array,
+    start_pos: int | Array,
+    mask: Array,
+    cos: Array,
+    sin: Array,
+) -> Tuple[Array, Array, Array]:
+    b, t, d = x.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+
+    q = layer["q_proj"](x).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    k = layer["k_proj"](x).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    v = layer["v_proj"](x).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+
+    q = _apply_rope(q, cos, sin)
+    k = _apply_rope(k, cos, sin)
+
+    # Write new K/V into the static cache at [start_pos : start_pos+t).
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, 0, start_pos, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, 0, start_pos, 0))
+
+    # GQA: expand kv heads to query heads.
+    rep = nh // nkv
+    keys = jnp.repeat(cache_k, rep, axis=1) if rep > 1 else cache_k
+    vals = jnp.repeat(cache_v, rep, axis=1) if rep > 1 else cache_v
+
+    scores = jnp.einsum(
+        "bhtd,bhsd->bhts", q, keys, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(hd).astype(jnp.float32)
+    scores = scores + mask  # [1/b, 1, t, S_max]
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhts,bhsd->bhtd", probs, vals)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
+    return layer["o_proj"](out), cache_k, cache_v
+
+
+def _mlp(layer: dict, x: Array) -> Array:
+    return layer["down_proj"](jax.nn.silu(layer["gate_proj"](x)) * layer["up_proj"](x))
+
+
+def forward(
+    params: dict,
+    cfg: LlamaConfig,
+    tokens: Array,
+    cache: Optional[KVCache] = None,
+    start_pos: int | Array = 0,
+) -> Tuple[Array, Optional[KVCache]]:
+    """Run the model over `tokens` [B, T] starting at `start_pos`.
+
+    Returns (logits [B, T, V], updated cache). With cache=None a causal
+    mask over T is used and no cache is produced (training / PPL eval mode).
+    """
+    b, t = tokens.shape
+    x = jnp.take(params["embed_tokens"], tokens, axis=0)
+
+    positions = start_pos + jnp.arange(t)
+    cos, sin = _rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta)
+
+    if cache is None:
+        # causal [T, T]
+        mask = jnp.where(
+            jnp.tril(jnp.ones((t, t), bool)), 0.0, jnp.finfo(jnp.float32).min
+        )[None, None]
+        s_max = None
+    else:
+        # queries at positions, keys at [0, S_max): key j visible iff j <= pos
+        s_max = cache.max_len
+        key_pos = jnp.arange(s_max)
+        mask = jnp.where(
+            key_pos[None, :] <= positions[:, None], 0.0, jnp.finfo(jnp.float32).min
+        )[None, None]
+
+    new_k, new_v = [], []
+    for i, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        if cache is None:
+            # self-contained attention over the current window
+            ck = jnp.zeros(
+                (b, cfg.num_key_value_heads, t, cfg.head_dim_), x.dtype
+            )
+            attn_out, _, _ = _attention(
+                layer["self_attn"], cfg, h, ck, ck, 0, mask, cos, sin
+            )
+        else:
+            attn_out, ck, cv = _attention(
+                layer["self_attn"],
+                cfg,
+                h,
+                cache.k[i],
+                cache.v[i],
+                start_pos,
+                mask,
+                cos,
+                sin,
+            )
+            new_k.append(ck)
+            new_v.append(cv)
+        x = x + attn_out
+        h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+        x = x + _mlp(layer["mlp"], h)
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        logits = jnp.einsum(
+            "btd,vd->btv", x, params["embed_tokens"], preferred_element_type=jnp.float32
+        )
+    else:
+        logits = params["lm_head"](x).astype(jnp.float32)
+
+    new_cache = (
+        KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v)) if cache is not None else None
+    )
+    return logits, new_cache

@@ -1,0 +1,8 @@
+# SPDX-License-Identifier: Apache-2.0
+from .fused_matmul import (  # noqa: F401
+    KernelQTensor,
+    dequant_pallas,
+    quant_matmul_pallas,
+    supports_kernel_layout,
+    to_kernel_layout,
+)
