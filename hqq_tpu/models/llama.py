@@ -258,11 +258,13 @@ def forward(
     tokens: Array,
     cache: Optional[KVCache] = None,
     start_pos: int | Array = 0,
+    kv_valid: Optional[Array] = None,
 ) -> Tuple[Array, Optional[KVCache]]:
     """Run the model over `tokens` [B, T] starting at `start_pos`.
 
     Returns (logits [B, T, V], updated cache). With cache=None a causal
     mask over T is used and no cache is produced (training / PPL eval mode).
+    `kv_valid` [B, S_max] optionally masks cache slots (left-padded batches).
     """
     b, t = tokens.shape
     x = jnp.take(params["embed_tokens"], tokens, axis=0)
@@ -280,9 +282,13 @@ def forward(
         # queries at positions, keys at [0, S_max): key j visible iff j <= pos
         s_max = cache.max_len
         key_pos = jnp.arange(s_max)
-        mask = jnp.where(
-            key_pos[None, :] <= positions[:, None], 0.0, jnp.finfo(jnp.float32).min
-        )[None, None]
+        visible = key_pos[None, :] <= positions[:, None]  # [T, S_max]
+        mask = jnp.where(visible, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+        if kv_valid is not None:
+            pad_mask = jnp.where(
+                kv_valid, 0.0, jnp.finfo(jnp.float32).min
+            )[:, None, None, :]  # [B, 1, 1, S_max]
+            mask = mask + pad_mask
 
     new_k, new_v = [], []
     for i, layer in enumerate(params["layers"]):

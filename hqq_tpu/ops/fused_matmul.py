@@ -278,12 +278,26 @@ def _qmm_call(
     return out[:m, :n]
 
 
-def quant_matmul_pallas(x: Array, kqt: KernelQTensor, interpret: bool = False) -> Array:
+def _auto_interpret() -> bool:
+    """Run Mosaic kernels natively on TPU, interpreted elsewhere (so the same
+    model code runs in CPU tests / virtual-device sharding validation)."""
+    return jax.default_backend() != "tpu"
+
+
+def quant_matmul_pallas(
+    x: Array, kqt: KernelQTensor, interpret: Optional[bool] = None
+) -> Array:
     """`x @ W_dq` for a kernel-layout quantized weight.
 
     x: [..., K]  ->  [..., N] in x's dtype (accumulation in fp32).
     """
-    k, n = kqt.shape
+    if interpret is None:
+        interpret = _auto_interpret()
+    # Derive dims from the arrays, not the static metadata: inside shard_map
+    # the struct carries its global `shape` but the arrays are local shards.
+    k = kqt.wq.shape[0] * kqt.r
+    n_pad = kqt.wq.shape[1]
+    n = kqt.n if (k == kqt.k and n_pad == _round_up(kqt.n, 128)) else n_pad
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k)
     out = _qmm_call(
@@ -340,9 +354,13 @@ def _dq_call(wq, scale, zs, *, container_bits, group_size, k, n, interpret=False
     return out[:, :n]
 
 
-def dequant_pallas(kqt: KernelQTensor, interpret: bool = False) -> Array:
+def dequant_pallas(kqt: KernelQTensor, interpret: Optional[bool] = None) -> Array:
     """Dequantize a kernel-layout weight to W^T [K, N] via a Pallas kernel."""
-    k, n = kqt.shape
+    if interpret is None:
+        interpret = _auto_interpret()
+    k = kqt.wq.shape[0] * kqt.r
+    n_pad = kqt.wq.shape[1]
+    n = kqt.n if (k == kqt.k and n_pad == _round_up(kqt.n, 128)) else n_pad
     return _dq_call(
         kqt.wq,
         kqt.scale,

@@ -1,0 +1,9 @@
+# SPDX-License-Identifier: Apache-2.0
+from .mesh import make_mesh, local_mesh  # noqa: F401
+from .sharding import shard_params, tree_shardings  # noqa: F401
+from .tp import (  # noqa: F401
+    AllGatherLinear,
+    RowParallelLinear,
+    prepare_tp_llama,
+    tp_forward_fn,
+)

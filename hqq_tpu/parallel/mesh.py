@@ -1,0 +1,53 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Device mesh helpers.
+
+The reference has no communication backend of its own (SURVEY §2.9: it
+delegates TP to vLLM/NCCL and uses naive `.to(device)` block placement,
+`/root/reference/hqq/models/base.py:307-394`). The TPU framework owns this
+natively: a `jax.sharding.Mesh` over ICI (and DCN for multi-slice), with
+
+  * "data"  axis — batch/data parallelism
+  * "model" axis — tensor parallelism (column/row-parallel linears, sharded
+    KV heads)
+
+Training uses GSPMD (jit + NamedSharding) so collectives and gradient
+reductions are derived automatically; the serving hot path uses `shard_map`
+with explicit psums over kernel-layout weights (see `parallel/tp.py`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "local_mesh", "P", "NamedSharding"]
+
+
+def make_mesh(
+    data: int = 1,
+    model: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+    axis_names: tuple = ("data", "model"),
+) -> Mesh:
+    """Create a 2-D (data, model) mesh. model=None uses all remaining devices.
+
+    Multi-host: call `jax.distributed.initialize()` first; `jax.devices()`
+    then spans the full slice and the mesh rides ICI within a slice / DCN
+    across slices (put "data" on the outer/DCN dimension).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if model is None:
+        assert n % data == 0, f"{n} devices not divisible by data={data}"
+        model = n // data
+    assert data * model <= n, f"mesh {data}x{model} needs more than {n} devices"
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(arr, axis_names)
+
+
+def local_mesh(model: Optional[int] = None, data: int = 1) -> Mesh:
+    """Mesh over this process's addressable devices only."""
+    return make_mesh(data=data, model=model, devices=jax.local_devices())

@@ -1,0 +1,155 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Sharding rules for Llama-class param trees (GSPMD training/eval path).
+
+Megatron-style tensor parallelism expressed as `PartitionSpec`s per linear
+tag (torch-convention [out, in] weights):
+
+    q/k/v/gate/up  : column-parallel  -> P("model", None)
+    o/down         : row-parallel     -> P(None, "model")
+    embed_tokens   : P(None, "model") (hidden sharded)
+    lm_head        : P("model", None) (vocab sharded)
+    norms          : replicated
+
+Quantized (`QTensor`) leaves: `scale`/`zero` live in group space
+[num_groups, 1] with groups ordered out-feature-major for axis=1, so a
+column-parallel shard is a contiguous dim-0 block -> P("model", None).
+The packed `wq` interleaves out-features across container bitfields
+(chunk-split packing), so it is kept replicated under GSPMD — 4-bit weights
+are small, and the bandwidth-critical TP serving path uses the kernel layout
+via `parallel/tp.py` + shard_map instead (the same unpack->slice->repack
+dance the reference does for vLLM TP ranks,
+`/root/reference/hqq/utils/vllm.py:111-170`).
+
+LoRA adapters (HQQ+ training): A replicated, B column-sharded when wrapping a
+column-parallel base; gradient reductions are derived by GSPMD.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.peft import LoRALinear
+from ..core.quantize import QTensor
+from ..nn.linear import Linear, QuantLinear
+
+__all__ = ["llama_partition_rules", "tree_shardings", "shard_params", "COL_TAGS", "ROW_TAGS"]
+
+COL_TAGS = (
+    "self_attn.q_proj",
+    "self_attn.k_proj",
+    "self_attn.v_proj",
+    "mlp.gate_proj",
+    "mlp.up_proj",
+)
+ROW_TAGS = ("self_attn.o_proj", "mlp.down_proj")
+
+
+def _linear_specs(path: str, layer: Any) -> dict:
+    """PartitionSpecs for one linear leaf, keyed like its pytree fields."""
+    from ..models.base import name_to_linear_tag
+
+    tag = name_to_linear_tag(path)
+    if "lm_head" in path:
+        mode = "col"
+    elif tag in COL_TAGS:
+        mode = "col"
+    elif tag in ROW_TAGS:
+        mode = "row"
+    else:
+        mode = "replicate"
+
+    if mode == "col":
+        w_spec = P("model", None)
+        b_spec = P("model")
+    elif mode == "row":
+        w_spec = P(None, "model")
+        b_spec = P()
+    else:
+        w_spec, b_spec = P(), P()
+    return {"mode": mode, "weight": w_spec, "bias": b_spec}
+
+
+def llama_partition_rules(path: str, leaf: Any) -> Any:
+    """Map one leaf (array at `path`) to a PartitionSpec."""
+    if "embed_tokens" in path:
+        return P(None, "model")
+    if path.endswith(("input_layernorm", "post_attention_layernorm", "norm")):
+        return P()
+    return P()
+
+
+def tree_shardings(params: Any, mesh: Mesh) -> Any:
+    """Build a matching pytree of NamedShardings for a Llama param tree."""
+
+    def struct_spec(path: str, node: Any) -> Any:
+        if isinstance(node, LoRALinear):
+            specs = _linear_specs(path, node.base)
+            inner = struct_spec(path, node.base)
+            a_spec = P()
+            b_spec = P(None, "model") if specs["mode"] == "col" else P()
+            return node.replace(
+                base=inner,
+                lora_a=NamedSharding(mesh, a_spec),
+                lora_b=NamedSharding(mesh, b_spec),
+                bias=None if node.bias is None else NamedSharding(mesh, specs["bias"]),
+            )
+        if isinstance(node, Linear):
+            specs = _linear_specs(path, node)
+            return node.replace(
+                weight=NamedSharding(mesh, specs["weight"]),
+                bias=None
+                if node.bias is None
+                else NamedSharding(mesh, specs["bias"]),
+            )
+        if isinstance(node, QuantLinear):
+            specs = _linear_specs(path, node)
+            qt = node.qweight
+            if specs["mode"] == "col" and qt.axis == 1 and qt.channel_wise:
+                # group-space scale/zero rows are out-feature-major: dim-0
+                # blocks == column shards. Packed codes stay replicated (see
+                # module docstring).
+                meta_spec = P("model", None)
+            else:
+                meta_spec = P()
+            new_qt = qt.replace(
+                wq=NamedSharding(mesh, P()),
+                scale=NamedSharding(mesh, meta_spec),
+                zero=NamedSharding(mesh, meta_spec),
+            )
+            return node.replace(
+                qweight=new_qt,
+                bias=None
+                if node.bias is None
+                else NamedSharding(mesh, specs["bias"]),
+            )
+        if isinstance(node, dict):
+            return {
+                k: struct_spec(f"{path}.{k}" if path else k, v)
+                for k, v in node.items()
+            }
+        if isinstance(node, list):
+            return [
+                struct_spec(f"{path}.{i}" if path else str(i), v)
+                for i, v in enumerate(node)
+            ]
+        if node is None:
+            return None
+        # bare array leaf
+        return NamedSharding(mesh, llama_partition_rules(path, node))
+
+    return struct_spec("", params)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place a param tree onto the mesh according to the Llama rules."""
+    shardings = tree_shardings(params, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s) if s is not None else x,
+        params,
+        shardings,
+        is_leaf=lambda x: x is None,
+    )

@@ -1,0 +1,188 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Compiled generation runtime — the TPU-native `HFGenerator`.
+
+≙ `/root/reference/hqq/utils/generation_hf.py:117-540`. The reference builds
+a static KV cache sized to the next power of two, compiles separate prefill /
+decode-one-token graphs, and manually captures a CUDA graph of the one-token
+step. The TPU equivalents used here:
+
+  * static cache / static shapes     -> `KVCache` pytree, prompt right-padded
+                                        to a power-of-two bucket
+  * torch.compile decode             -> jitted decode step
+  * CUDA-graph capture/replay        -> the ENTIRE decode loop inside one XLA
+                                        program (`lax.scan` over steps), so
+                                        there is zero host round-trip per
+                                        token ("full" mode; ≙ compile_args
+                                        full vs partial, ref `:300-310`)
+  * gumbel-trick top-k sampling      -> same math on jax.random keys
+                                        (ref `:268-289`)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from ..models import llama
+
+__all__ = ["Generator", "sample_token", "next_power_of_2"]
+
+
+def next_power_of_2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
+
+
+def sample_token(
+    logits: Array,
+    key: Optional[Array],
+    do_sample: bool,
+    top_k: int,
+    temperature: float,
+) -> Array:
+    """Greedy or top-k gumbel sampling (≙ ref `generation_hf.py:268-289`)."""
+    if not do_sample:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / jnp.maximum(temperature, 1e-5)
+    vals, idxs = jax.lax.top_k(logits, top_k)
+    g = jax.random.gumbel(key, vals.shape, dtype=vals.dtype)
+    choice = jnp.argmax(vals + g, axis=-1)
+    return jnp.take_along_axis(idxs, choice[..., None], axis=-1)[..., 0]
+
+
+class Generator:
+    """Host-side harness around fully-jitted prefill + decode.
+
+    forward_fn(params, tokens, cache, start_pos) -> (logits, cache) defaults
+    to the Llama forward; any model with that signature works.
+    """
+
+    def __init__(
+        self,
+        params: Any,
+        cfg: Any,
+        max_new_tokens: int = 256,
+        batch_size: int = 1,
+        cache_len: Optional[int] = None,
+        do_sample: bool = False,
+        top_k: int = 20,
+        temperature: float = 0.6,
+        eos_token_id: Optional[int] = None,
+        compile_mode: str = "full",  # "full": whole decode loop on device
+        forward_fn: Optional[Callable] = None,
+        cache_dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.max_new_tokens = max_new_tokens
+        self.batch_size = batch_size
+        self.do_sample = do_sample
+        self.top_k = top_k
+        self.temperature = temperature
+        self.eos_token_id = eos_token_id
+        self.compile_mode = compile_mode
+        self.cache_len = cache_len
+        self.cache_dtype = cache_dtype
+        fwd = forward_fn or (
+            lambda p, toks, cache, pos: llama.forward(p, cfg, toks, cache, pos)
+        )
+        self._forward = fwd
+
+        # jit once; shapes bucketed by (prompt_bucket, cache_len)
+        self._prefill = jax.jit(fwd)
+        self._decode_loop = jax.jit(
+            self._decode_loop_impl, static_argnames=("steps",)
+        )
+        self._decode_step = jax.jit(self._decode_step_impl)
+
+    # -- decode ------------------------------------------------------------
+    def _sample(self, logits: Array, key: Array) -> Array:
+        return sample_token(
+            logits, key, self.do_sample, self.top_k, self.temperature
+        )
+
+    def _decode_step_impl(self, params, tok, cache, pos, key):
+        logits, cache = self._forward(params, tok[:, None], cache, pos)
+        key, sub = jax.random.split(key)
+        nxt = self._sample(logits[:, -1], sub)
+        return nxt, cache, key
+
+    def _decode_loop_impl(self, params, first_tok, cache, start_pos, key, *, steps):
+        """The whole decode loop as ONE XLA program (≙ CUDA-graph replay)."""
+        eos = self.eos_token_id
+
+        def body(carry, _):
+            tok, cache, pos, key, done = carry
+            logits, cache = self._forward(params, tok[:, None], cache, pos)
+            key, sub = jax.random.split(key)
+            nxt = self._sample(logits[:, -1], sub)
+            if eos is not None:
+                nxt = jnp.where(done, jnp.full_like(nxt, eos), nxt)
+                done = jnp.logical_or(done, nxt == eos)
+            return (nxt, cache, pos + 1, key, done), tok
+
+        done0 = jnp.zeros((first_tok.shape[0],), bool)
+        (last, cache, _, _, _), toks = jax.lax.scan(
+            body, (first_tok, cache, start_pos, key, done0), None, length=steps
+        )
+        toks = jnp.moveaxis(toks, 0, 1)  # [B, steps]
+        return jnp.concatenate([toks, last[:, None]], axis=1), cache
+
+    # -- public API ----------------------------------------------------------
+    def generate(
+        self,
+        input_ids,
+        max_new_tokens: Optional[int] = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """input_ids: [B, T] token ids (list / np / jnp). Returns generated
+        ids [B, <=max_new_tokens] (prompt not included)."""
+        input_ids = np.asarray(input_ids)
+        if input_ids.ndim == 1:
+            input_ids = input_ids[None]
+        b, t = input_ids.shape
+        steps = max_new_tokens or self.max_new_tokens
+
+        cache_len = self.cache_len or next_power_of_2(t + steps + 1)
+        cache = llama.init_cache(self.cfg, b, cache_len, self.cache_dtype)
+
+        # Right-pad the prompt to a power-of-two bucket: padded slots are
+        # written to the cache but each is overwritten by a real token before
+        # any query position can attend to it.
+        t_pad = next_power_of_2(max(t, 2))
+        prompt = np.zeros((b, t_pad), np.int32)
+        prompt[:, :t] = input_ids
+        logits, cache = self._prefill(
+            self.params, jnp.asarray(prompt), cache, 0
+        )
+        key = jax.random.PRNGKey(seed)
+        key, sub = jax.random.split(key)
+        first = self._sample(logits[:, t - 1], sub)
+
+        if self.compile_mode == "full":
+            toks, _ = self._decode_loop(
+                self.params, first, cache, t, key, steps=steps - 1
+            )
+            out = np.asarray(toks)
+        else:  # "partial": jitted one-token step, host loop (streaming-able)
+            tok, pos = first, t
+            outs = [np.asarray(first)]
+            for _ in range(steps - 1):
+                tok, cache, key = self._decode_step(self.params, tok, cache, pos, key)
+                pos += 1
+                outs.append(np.asarray(tok))
+            out = np.stack(outs, axis=1)
+
+        if self.eos_token_id is not None:
+            # truncate rows at first EOS
+            trimmed = []
+            for row in out:
+                idx = np.where(row == self.eos_token_id)[0]
+                trimmed.append(row[: idx[0] + 1] if len(idx) else row)
+            if b == 1:
+                return trimmed[0][None]
+        return out

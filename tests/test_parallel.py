@@ -1,0 +1,100 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Sharding tests on the virtual 8-device CPU mesh: TP forward equals the
+single-device forward; GSPMD-sharded params produce identical results."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from hqq_tpu.core.quantize import BaseQuantizeConfig
+from hqq_tpu.models import LlamaConfig, forward, init_cache, init_params, quantize_model
+from hqq_tpu.parallel import make_mesh, prepare_tp_llama, shard_params, tp_forward_fn
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = LlamaConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    qparams = quantize_model(
+        params, BaseQuantizeConfig(nbits=4, group_size=32), compute_dtype=jnp.float32
+    )
+    return cfg, params, qparams
+
+
+def test_mesh():
+    mesh = make_mesh(data=2, model=4)
+    assert mesh.shape == {"data": 2, "model": 4}
+
+
+def test_tp_forward_matches_single(model):
+    cfg, params, qparams = model
+    mesh = make_mesh(data=2, model=2)
+    # pallas kernels run in interpret mode on CPU automatically
+    tp_params, tp_specs, local_cfg = prepare_tp_llama(
+        qparams, cfg, mesh, use_pallas=True
+    )
+    fwd = tp_forward_fn(mesh, tp_specs, local_cfg)
+
+    b, t, s_max = 2, 8, 32
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (b, t)), jnp.int32
+    )
+    cache = init_cache(cfg, b, s_max, jnp.float32)
+
+    with mesh:
+        logits_tp, cache_tp = fwd(tp_params, tokens, cache, 0)
+
+    logits_ref, cache_ref = forward(qparams, cfg, tokens, cache, 0)
+    np.testing.assert_allclose(
+        np.asarray(logits_tp), np.asarray(logits_ref), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_tp.k), np.asarray(cache_ref.k), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_tp_decode_steps(model):
+    cfg, params, qparams = model
+    mesh = make_mesh(data=1, model=2)  # tiny cfg has 2 kv heads
+    tp_params, tp_specs, local_cfg = prepare_tp_llama(
+        qparams, cfg, mesh, use_pallas=True
+    )
+    fwd = tp_forward_fn(mesh, tp_specs, local_cfg)
+
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    cache_ref = init_cache(cfg, 1, 16, jnp.float32)
+
+    with mesh:
+        logits, cache = fwd(tp_params, tokens, cache, 0)
+    logits_ref, cache_ref = forward(qparams, cfg, tokens, cache_ref, 0)
+
+    tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+    tok_ref = jnp.argmax(logits_ref[:, -1:], -1).astype(jnp.int32)
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(tok_ref))
+
+    for pos in range(4, 7):
+        with mesh:
+            logits, cache = fwd(tp_params, tok, cache, pos)
+        logits_ref, cache_ref = forward(qparams, cfg, tok_ref, cache_ref, pos)
+        tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+        tok_ref = jnp.argmax(logits_ref[:, -1:], -1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(tok), np.asarray(tok_ref))
+
+
+def test_gspmd_shard_params(model):
+    cfg, params, qparams = model
+    mesh = make_mesh(data=1, model=8)
+    sharded = shard_params(qparams, mesh)
+    tokens = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+
+    logits_ref, _ = forward(qparams, cfg, tokens)
+    with mesh:
+        logits, _ = jax.jit(lambda p, t: forward(p, cfg, t))(sharded, tokens)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(logits_ref), rtol=2e-4, atol=2e-4
+    )
+    # check a weight is actually sharded
+    w = sharded["layers"][0]["self_attn"]["q_proj"].qweight.scale
+    assert len(w.sharding.device_set) == 8

@@ -108,12 +108,15 @@ def _reference_quantizer():
 @pytest.mark.parametrize("nbits", [8, 4, 3, 2])
 @pytest.mark.parametrize("axis", [0, 1])
 @pytest.mark.parametrize("optimize", [False, True])
-def test_reference_parity(nbits, axis, optimize, rng):
+def test_reference_parity(nbits, axis, optimize):
     torch = pytest.importorskip("torch")
     RefQ = _reference_quantizer()
     if RefQ is None:
         pytest.skip("reference hqq not importable")
 
+    # dedicated seed: the shared rng fixture is stateful and would make this
+    # borderline-tie-break test order-dependent
+    rng = np.random.default_rng(1234)
     w = (rng.standard_normal((128, 128)) / 8).astype(np.float32)
     round_zero = nbits == 4
 
