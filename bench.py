@@ -1,0 +1,169 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Flagship benchmark: single-chip decode throughput of a 4-bit HQQ-quantized
+Llama-2-7B (random weights — no checkpoint download in this environment;
+decode speed is weight-content-independent).
+
+Prints ONE JSON line:
+  {"metric": "decode_tok_s_7b_4bit", "value": <tok/s>, "unit": "tok/s",
+   "vs_baseline": <tok/s divided by the bf16 weight-bandwidth roofline>}
+
+The baseline (BASELINE.md) asks for decode tok/s/chip >= 90% of the bf16
+roofline, i.e. vs_baseline >= 0.9. The bf16 roofline is HBM_BW /
+bytes(bf16 weights touched per token) — the ideal speed of an UNquantized
+bf16 model on this chip; 4-bit weights read 4x fewer bytes, so values > 1
+are expected once kernels are good.
+
+All timing fetches results to host (block_until_ready is unreliable over the
+axon tunnel) and runs the whole decode loop on device (lax.scan) so per-call
+dispatch overhead is amortized.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+HBM_BW = {  # bytes/s per chip
+    "TPU v5 lite": 819e9,  # v5e
+    "TPU v4": 1228e9,
+    "TPU v5": 2765e9,  # v5p
+    "TPU v6 lite": 1640e9,  # v6e
+}
+
+
+def detect_bw() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in HBM_BW.items():
+        if kind.startswith(k):
+            return v
+    return 819e9
+
+
+def build_quantized_llama(cfg, nbits=4, group_size=64, dtype=jnp.bfloat16, seed=0):
+    """Build the model layer-by-layer, quantizing each projection as it is
+    created so peak HBM stays ~1 layer above the quantized footprint."""
+    from hqq_tpu.backends.pallas_backend import patch_quantlinear_to_pallas
+    from hqq_tpu.nn import Linear, QuantLinear
+
+    key = jax.random.PRNGKey(seed)
+    kidx = [0]
+
+    def nk():
+        kidx[0] += 1
+        return jax.random.fold_in(key, kidx[0])
+
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+
+    def qlin(out_f, in_f):
+        w = jax.random.normal(nk(), (out_f, in_f), jnp.float32) / np.sqrt(in_f)
+        layer = QuantLinear.quantize(
+            w, None, nbits=nbits, group_size=group_size, axis=1,
+            round_zero=(nbits == 4), compute_dtype=dtype,
+        )
+        return patch_quantlinear_to_pallas(layer)
+
+    layers = []
+    for _ in range(cfg.num_hidden_layers):
+        layers.append({
+            "self_attn": {
+                "q_proj": qlin(nh * hd, d),
+                "k_proj": qlin(nkv * hd, d),
+                "v_proj": qlin(nkv * hd, d),
+                "o_proj": qlin(d, nh * hd),
+            },
+            "mlp": {
+                "gate_proj": qlin(f, d),
+                "up_proj": qlin(f, d),
+                "down_proj": qlin(d, f),
+            },
+            "input_layernorm": jnp.ones((d,), dtype),
+            "post_attention_layernorm": jnp.ones((d,), dtype),
+        })
+    params = {
+        "embed_tokens": (jax.random.normal(nk(), (cfg.vocab_size, d), jnp.float32) * 0.02).astype(dtype),
+        "layers": layers,
+        "norm": jnp.ones((d,), dtype),
+        "lm_head": Linear(weight=(jax.random.normal(nk(), (cfg.vocab_size, d), jnp.float32) / np.sqrt(d)).astype(dtype)),
+    }
+    return params
+
+
+def main():
+    from hqq_tpu.models import LlamaConfig, forward, init_cache
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        cfg = LlamaConfig.llama2_7b()
+        steps, cache_len = 128, 1024
+    else:  # smoke-test fallback (CI / CPU)
+        cfg = LlamaConfig(
+            vocab_size=1024, hidden_size=512, intermediate_size=1024,
+            num_hidden_layers=4, num_attention_heads=8, num_key_value_heads=8,
+        )
+        steps, cache_len = 8, 64
+
+    t0 = time.time()
+    params = build_quantized_llama(cfg, nbits=4, group_size=64)
+    jax.block_until_ready(params["norm"])
+    print(f"# built+quantized model in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    cache = init_cache(cfg, batch=1, max_len=cache_len)
+
+    @jax.jit
+    def decode_n(params, cache, first_tok, start_pos):
+        def body(carry, _):
+            tok, cache, pos = carry
+            logits, cache = forward(params, cfg, tok, cache, pos)
+            nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            return (nxt, cache, pos + 1), nxt[0, 0]
+        (_, cache, _), toks = jax.lax.scan(
+            body, (first_tok, cache, start_pos), None, length=steps
+        )
+        return toks
+
+    first = jnp.ones((1, 1), jnp.int32)
+    pos0 = jnp.asarray(1, jnp.int32)
+
+    t0 = time.time()
+    toks = np.asarray(decode_n(params, cache, first, pos0))
+    print(f"# decode compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        toks = np.asarray(decode_n(params, cache, first, pos0))
+        best = min(best, (time.time() - t0) / steps)
+    tok_s = 1.0 / best
+
+    # bf16 roofline: all weight bytes (linears + embed/head) once per token.
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    linear_params = cfg.num_hidden_layers * (
+        d * nh * hd + 2 * d * nkv * hd + nh * hd * d + 3 * d * f
+    )
+    other_params = 2 * cfg.vocab_size * d
+    bf16_bytes = 2 * (linear_params + other_params)
+    roofline_tok_s = detect_bw() / bf16_bytes
+
+    print(
+        f"# tok/s={tok_s:.2f}, bf16 roofline={roofline_tok_s:.2f} tok/s, "
+        f"ratio={tok_s / roofline_tok_s:.3f}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "decode_tok_s_llama7b_4bit_g64",
+        "value": round(tok_s, 2),
+        "unit": "tok/s/chip",
+        "vs_baseline": round(tok_s / roofline_tok_s, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

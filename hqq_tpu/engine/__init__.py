@@ -1,0 +1,2 @@
+# SPDX-License-Identifier: Apache-2.0
+from .hf import AutoHQQHFModel, HQQModel, HQQModelForCausalLM, register_arch  # noqa: F401

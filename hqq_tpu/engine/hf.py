@@ -1,0 +1,156 @@
+# SPDX-License-Identifier: Apache-2.0
+"""User-facing engine: one-stop quantize / save / load / generate.
+
+≙ `/root/reference/hqq/engine/base.py` (`HQQWrapper` registry) +
+`engine/hf.py` (`HQQModelForCausalLM`) + `models/hf/base.py`
+(`AutoHQQHFModel`). The registry maps HF `model_type` strings to
+(config-builder, forward-fn) pairs; the returned `HQQModel` bundles the
+param pytree with its config and exposes quantize/save/generate, so the
+five-line reference workflow ports directly:
+
+    model = HQQModelForCausalLM.from_pretrained(local_dir)     # fp load
+    model.quantize_model(BaseQuantizeConfig(nbits=4, group_size=64))
+    model.save_quantized(out_dir)
+    model = HQQModelForCausalLM.from_quantized(out_dir)
+    ids = model.generate(prompt_ids, max_new_tokens=64)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+
+from ..core.quantize import BaseQuantizeConfig
+from ..models import base as model_base
+from ..models import hf as hf_loader
+from ..models import llama
+from ..serving.generate import Generator
+
+__all__ = ["HQQModel", "HQQModelForCausalLM", "AutoHQQHFModel"]
+
+# model_type -> (ConfigCls.from_hf, forward_fn, param loader)
+_HQQ_REGISTRY: Dict[str, dict] = {
+    "llama": {
+        "config": llama.LlamaConfig.from_hf,
+        "forward": llama.forward,
+        "loader": hf_loader.params_from_hf_state_dict,
+    },
+    # Mistral's decoder is Llama-shaped (≙ reference MistralHQQ reusing the
+    # same linear tags, `/root/reference/hqq/models/hf/mistral.py`)
+    "mistral": {
+        "config": llama.LlamaConfig.from_hf,
+        "forward": llama.forward,
+        "loader": hf_loader.params_from_hf_state_dict,
+    },
+}
+
+
+def register_arch(model_type: str, config, forward, loader) -> None:
+    """≙ `HQQWrapper._HQQ_REGISTRY` extension point (ref engine/base.py:13)."""
+    _HQQ_REGISTRY[model_type] = {"config": config, "forward": forward, "loader": loader}
+
+
+@dataclasses.dataclass
+class HQQModel:
+    params: Any
+    cfg: Any
+    model_type: str = "llama"
+    quantized: bool = False
+
+    @property
+    def _arch(self) -> dict:
+        return _HQQ_REGISTRY[self.model_type]
+
+    # -- quantization -------------------------------------------------------
+    def quantize_model(
+        self, quant_config: Optional[dict] = None, compute_dtype=None
+    ) -> "HQQModel":
+        assert not self.quantized, "model is already quantized"
+        self.params = model_base.quantize_model(
+            self.params, quant_config or BaseQuantizeConfig(), compute_dtype
+        )
+        self.quantized = True
+        return self
+
+    def prepare_for_inference(self, backend: str = "pallas") -> "HQQModel":
+        from ..utils.patching import prepare_for_inference
+
+        self.params = prepare_for_inference(self.params, backend)
+        return self
+
+    # -- persistence --------------------------------------------------------
+    def save_quantized(self, save_dir: str) -> None:
+        assert self.quantized, "quantize_model() first"
+        cfg_dict = dataclasses.asdict(self.cfg)
+        model_base.save_quantized(
+            self.params,
+            save_dir,
+            config={"model_type": self.model_type, "hf_config": cfg_dict},
+        )
+
+    # -- inference ----------------------------------------------------------
+    def forward(self, tokens, cache=None, start_pos=0):
+        return self._arch["forward"](self.params, self.cfg, tokens, cache, start_pos)
+
+    def generate(self, input_ids, max_new_tokens: int = 128, **kw):
+        gen = Generator(
+            self.params,
+            self.cfg,
+            forward_fn=lambda p, t, c, s: self._arch["forward"](p, self.cfg, t, c, s),
+            **{k: v for k, v in kw.items() if k != "seed"},
+        )
+        return gen.generate(input_ids, max_new_tokens=max_new_tokens,
+                            seed=kw.get("seed", 0))
+
+
+class HQQModelForCausalLM:
+    """Class-method facade matching the reference engine API."""
+
+    @classmethod
+    def from_pretrained(
+        cls, model_dir: str, compute_dtype=jnp.bfloat16
+    ) -> HQQModel:
+        with open(os.path.join(model_dir, "config.json")) as f:
+            hf_cfg = json.load(f)
+        model_type = hf_cfg.get("model_type", "llama")
+        arch = _HQQ_REGISTRY.get(model_type)
+        assert arch is not None, (
+            f"architecture {model_type!r} not supported "
+            f"(≙ ref engine/base.py:36 _check_arch_support); "
+            f"available: {list(_HQQ_REGISTRY)}"
+        )
+        cfg = arch["config"](hf_cfg)
+        state: dict = {}
+        for shard in hf_loader._iter_hf_shards(model_dir):
+            state.update(shard)
+        params = arch["loader"](state, cfg, compute_dtype)
+        return HQQModel(params=params, cfg=cfg, model_type=model_type)
+
+    @classmethod
+    def from_quantized(cls, save_dir: str) -> HQQModel:
+        params, config = model_base.from_quantized(save_dir)
+        model_type = config.get("model_type", "llama")
+        arch = _HQQ_REGISTRY[model_type]
+        hf_cfg = config.get("hf_config", {})
+        cfg = (
+            llama.LlamaConfig(**hf_cfg)
+            if model_type in ("llama", "mistral")
+            else arch["config"](hf_cfg)
+        )
+        return HQQModel(params=params, cfg=cfg, model_type=model_type, quantized=True)
+
+    # convenience passthroughs (≙ HQQWrapper classmethods)
+    @staticmethod
+    def quantize_model_(model: HQQModel, quant_config=None, compute_dtype=None):
+        return model.quantize_model(quant_config, compute_dtype)
+
+    @staticmethod
+    def save_quantized_(model: HQQModel, save_dir: str):
+        model.save_quantized(save_dir)
+
+
+AutoHQQHFModel = HQQModelForCausalLM  # ≙ models/hf/base.py:44-46

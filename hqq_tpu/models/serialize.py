@@ -77,6 +77,39 @@ def tree_to_state(tree: Any, prefix: str = "") -> Tuple[Dict[str, Any], Any]:
                     "bias": rec(node.bias, f"{path}.bias"),
                 },
             }
+        if type(node).__name__ == "PallasQuantLinear":
+            return {
+                "type": "PallasQuantLinear",
+                "children": {
+                    "kqt": rec(node.kqt, f"{path}.kqt"),
+                    "bias": rec(node.bias, f"{path}.bias"),
+                },
+            }
+        if type(node).__name__ == "KernelQTensor":
+            flat[f"{path}.wq"] = node.wq
+            flat[f"{path}.scale"] = node.scale
+            flat[f"{path}.zs"] = node.zs
+            return {
+                "type": "KernelQTensor",
+                "meta": {
+                    "nbits": node.nbits,
+                    "container_bits": node.container_bits,
+                    "group_size": node.group_size,
+                    "shape": list(node.shape),
+                    "compute_dtype": _dtype_name(node.compute_dtype),
+                },
+            }
+        if type(node).__name__ == "LoRALinear":
+            return {
+                "type": "LoRALinear",
+                "meta": {"scaling": node.scaling, "dropout": node.dropout},
+                "children": {
+                    "base": rec(node.base, f"{path}.base"),
+                    "lora_a": rec(node.lora_a, f"{path}.lora_a"),
+                    "lora_b": rec(node.lora_b, f"{path}.lora_b"),
+                    "bias": rec(node.bias, f"{path}.bias"),
+                },
+            }
         if isinstance(node, Linear):
             return {
                 "type": "Linear",
@@ -135,6 +168,39 @@ def state_to_tree(
             return QuantLinear(
                 qweight=rec(node["children"]["qweight"], f"{path}.qweight"),
                 bias=rec(node["children"]["bias"], f"{path}.bias"),
+            )
+        if t == "PallasQuantLinear":
+            from ..backends.pallas_backend import PallasQuantLinear
+
+            return PallasQuantLinear(
+                kqt=rec(node["children"]["kqt"], f"{path}.kqt"),
+                bias=rec(node["children"]["bias"], f"{path}.bias"),
+            )
+        if t == "KernelQTensor":
+            from ..ops.fused_matmul import KernelQTensor
+
+            m = node["meta"]
+            nbits = m["nbits"]
+            return KernelQTensor(
+                wq=get(f"{path}.wq"),
+                scale=get(f"{path}.scale"),
+                zs=get(f"{path}.zs"),
+                nbits=int(nbits) if float(nbits).is_integer() else float(nbits),
+                container_bits=m["container_bits"],
+                group_size=m["group_size"],
+                shape=tuple(m["shape"]),
+                compute_dtype=_DTYPE_NAMES[m["compute_dtype"]],
+            )
+        if t == "LoRALinear":
+            from ..core.peft import LoRALinear
+
+            return LoRALinear(
+                base=rec(node["children"]["base"], f"{path}.base"),
+                lora_a=rec(node["children"]["lora_a"], f"{path}.lora_a"),
+                lora_b=rec(node["children"]["lora_b"], f"{path}.lora_b"),
+                bias=rec(node["children"]["bias"], f"{path}.bias"),
+                scaling=node["meta"]["scaling"],
+                dropout=node["meta"]["dropout"],
             )
         if t == "Linear":
             return Linear(

@@ -131,6 +131,15 @@ def to_kernel_layout(qt: QTensor) -> KernelQTensor:
     scale_kn = qt.scale.reshape(n_out, k // g).T.astype(jnp.float32)  # [K/g, N]
     zero_kn = qt.zero.reshape(n_out, k // g).T.astype(jnp.float32)
 
+    # Pad K to a multiple of 8*g so scale/zs tiles meet the TPU 8-sublane
+    # rule for any K-tiling (padded rows dequantize to exactly 0: codes=0,
+    # scale=0, zero=0 -> w = 0*0 - 0*0).
+    k_pad = _round_up(k, 8 * g) if k > 8 * g else k
+    if k_pad != k:
+        codes_kn = jnp.pad(codes_kn, ((0, k_pad - k), (0, 0)))
+        scale_kn = jnp.pad(scale_kn, ((0, (k_pad - k) // g), (0, 0)))
+        zero_kn = jnp.pad(zero_kn, ((0, (k_pad - k) // g), (0, 0)))
+
     n_pad = _round_up(n_out, 128)
     if n_pad != n_out:
         codes_kn = jnp.pad(codes_kn, ((0, 0), (0, n_pad - n_out)))
@@ -204,14 +213,16 @@ def _qmm_kernel(x_ref, wq_ref, scale_ref, zs_ref, out_ref, acc_ref, *, g, cb, ou
 
 
 def _pick_tile_k(k: int, g: int, target: int = 2048) -> int:
-    """Largest multiple of g that divides K, capped near `target`."""
-    best = g
-    t = g
+    """K-tile: a multiple of 8*g dividing K (so scale/zs tiles satisfy the
+    8-sublane rule), capped near `target`; falls back to a single full-K tile
+    (block == array dim is always legal) for shard-local odd sizes."""
+    best = None
+    t = 8 * g
     while t <= min(k, target):
         if k % t == 0:
             best = t
-        t += g
-    return best
+        t += 8 * g
+    return best if best is not None else k
 
 
 @functools.partial(
@@ -295,11 +306,19 @@ def quant_matmul_pallas(
         interpret = _auto_interpret()
     # Derive dims from the arrays, not the static metadata: inside shard_map
     # the struct carries its global `shape` but the arrays are local shards.
-    k = kqt.wq.shape[0] * kqt.r
-    n_pad = kqt.wq.shape[1]
-    n = kqt.n if (k == kqt.k and n_pad == _round_up(kqt.n, 128)) else n_pad
+    # K may also be storage-padded (to a multiple of 8*g) by to_kernel_layout.
+    g = kqt.group_size
+    k_arr = kqt.wq.shape[0] * kqt.r  # storage K (incl. padding)
+    n_arr = kqt.wq.shape[1]  # storage N (incl. padding)
+    k_store_global = _round_up(kqt.k, 8 * g) if kqt.k > 8 * g else kqt.k
+    is_global = k_arr == k_store_global and n_arr == _round_up(kqt.n, 128)
+    k_logical = kqt.k if is_global else k_arr
+    n = kqt.n if is_global else n_arr
+
     lead = x.shape[:-1]
-    x2 = x.reshape(-1, k)
+    x2 = x.reshape(-1, k_logical)
+    if k_arr != k_logical:  # zero-pad activations over the padded K rows
+        x2 = jnp.pad(x2, ((0, 0), (0, k_arr - k_logical)))
     out = _qmm_call(
         x2,
         kqt.wq,
@@ -308,7 +327,7 @@ def quant_matmul_pallas(
         nbits=kqt.nbits,
         container_bits=kqt.container_bits,
         group_size=kqt.group_size,
-        k=k,
+        k=k_arr,
         n=n,
         interpret=interpret,
     )
@@ -358,16 +377,21 @@ def dequant_pallas(kqt: KernelQTensor, interpret: Optional[bool] = None) -> Arra
     """Dequantize a kernel-layout weight to W^T [K, N] via a Pallas kernel."""
     if interpret is None:
         interpret = _auto_interpret()
-    k = kqt.wq.shape[0] * kqt.r
-    n_pad = kqt.wq.shape[1]
-    n = kqt.n if (k == kqt.k and n_pad == _round_up(kqt.n, 128)) else n_pad
-    return _dq_call(
+    g = kqt.group_size
+    k_arr = kqt.wq.shape[0] * kqt.r
+    n_arr = kqt.wq.shape[1]
+    k_store_global = _round_up(kqt.k, 8 * g) if kqt.k > 8 * g else kqt.k
+    is_global = k_arr == k_store_global and n_arr == _round_up(kqt.n, 128)
+    k_logical = kqt.k if is_global else k_arr
+    n = kqt.n if is_global else n_arr
+    out = _dq_call(
         kqt.wq,
         kqt.scale,
         kqt.zs,
         container_bits=kqt.container_bits,
         group_size=kqt.group_size,
-        k=k,
+        k=k_arr,
         n=n,
         interpret=interpret,
     )
+    return out[:k_logical]
