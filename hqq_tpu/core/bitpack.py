@@ -118,3 +118,32 @@ def unpack(p: Array, packing: str, dtype=jnp.uint8) -> Array:
     if packing == "8bit_u8":
         return p.astype(dtype)
     return _unpack_chunked(p, packing, dtype)
+
+
+def pack_host(w_q, packing: str):
+    """Host-side pack of a numpy code matrix, using the native C++ library
+    when available (multithreaded, checkpoint-I/O speed), else the JAX path.
+    Bit-identical to `pack`."""
+    import numpy as np
+
+    from . import _native
+
+    w_np = np.asarray(w_q)
+    out = _native.pack_np(w_np, packing)
+    if out is not None:
+        return out
+    return np.asarray(pack(jnp.asarray(w_np.astype(np.int32)), packing))
+
+
+def unpack_host(p, packing: str):
+    """Host-side unpack (native C++ when available); includes 3-bit padding
+    rows like `unpack`."""
+    import numpy as np
+
+    from . import _native
+
+    p_np = np.asarray(p)
+    out = _native.unpack_np(p_np, packing)
+    if out is not None:
+        return out
+    return np.asarray(unpack(jnp.asarray(p_np), packing, jnp.int32))

@@ -37,6 +37,7 @@ __all__ = [
     "shrink_lp",
     "optimize_weights_proximal",
     "optimize_weights_proximal_v2",
+    "optimize_weights_autograd",
     "update_scale_grid_search",
     "DEFAULT_OPT_PARAMS",
 ]
@@ -273,3 +274,88 @@ def optimize_weights_proximal_v2(
 
     w_q = jnp.clip(jnp.round(w_f * scale + zero), min_v, max_v)
     return w_q, scale, zero
+
+
+def optimize_weights_autograd(
+    tensor: Array,
+    scale: Array,
+    zero: Array,
+    min_max: tuple,
+    axis: int = 0,
+    opt_params: dict | None = None,
+    key: Array | None = None,
+    dtype=jnp.float32,
+) -> tuple[Array, Array, Array]:
+    """Gradient-based L1 fake-quant optimization of scale/zero (and optionally
+    the codes) with AdamW — ≙ `optimize_weights_autograd`
+    (`/root/reference/hqq/core/optimize.py:301-458`), rebuilt on optax with the
+    whole optimization loop inside one `lax.scan` (the reference runs 1000+
+    eager torch steps). Rolls back to the input scale/zero if the final loss
+    did not improve, like the reference (`:436-442`).
+
+    opt_params: {lr, iters, update_Wq, use_fake_data, data_ctx, data_rng}.
+    """
+    import optax
+
+    p = dict(lr=2e-3, iters=200, update_Wq=False, use_fake_data=False,
+             data_ctx=32, data_rng=10.0)
+    p.update(opt_params or {})
+    min_v, max_v = float(min_max[0]), float(min_max[1])
+
+    w_f = tensor.astype(dtype)
+    params = {"scale": scale.astype(dtype), "zero": zero.astype(dtype)}
+    if p["update_Wq"]:
+        params["w_q"] = jnp.clip(
+            jnp.round(w_f * params["scale"] + params["zero"]), min_v, max_v
+        )
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def fake_quant(params):
+        if p["update_Wq"]:
+            w_q = jnp.clip(jnp.round(params["w_q"]), min_v, max_v)
+            # straight-through: round() has zero gradient
+            w_q = params["w_q"] + jax.lax.stop_gradient(w_q - params["w_q"])
+        else:
+            w_q = jnp.clip(jnp.round(w_f * params["scale"] + params["zero"]),
+                           min_v, max_v)
+        return (w_q - params["zero"]) / params["scale"]
+
+    def loss_fn(params, key):
+        w_r = fake_quant(params)
+        if p["use_fake_data"]:
+            x = (jax.random.uniform(key, (p["data_ctx"], w_f.shape[1]), dtype)
+                 - 0.5) * 2 ** p["data_rng"]
+            return jnp.abs(x @ w_r.T - x @ w_f.T).mean()
+        return jnp.abs(w_r - w_f).mean()
+
+    opt = optax.adamw(p["lr"], b1=0.9, b2=0.99, eps=1e-6, weight_decay=0.0)
+    opt_state = opt.init(params)
+
+    def step(carry, _):
+        params, opt_state, key = carry
+        key, sub = jax.random.split(key)
+        loss, grads = jax.value_and_grad(loss_fn)(params, sub)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, key), loss
+
+    init_loss = loss_fn(params, key)
+    (params, _, _), _ = jax.lax.scan(
+        step, (params, opt_state, key), None, length=int(p["iters"])
+    )
+    final_loss = loss_fn(params, key)
+
+    improved = final_loss < init_loss
+    out_scale = jnp.where(improved, params["scale"], scale.astype(dtype))
+    out_zero = jnp.where(improved, params["zero"], zero.astype(dtype))
+    if p["update_Wq"]:
+        w_q = jnp.where(
+            improved,
+            jnp.clip(jnp.round(params["w_q"]), min_v, max_v),
+            jnp.clip(jnp.round(w_f * out_scale + out_zero), min_v, max_v),
+        )
+    else:
+        w_q = jnp.clip(jnp.round(w_f * out_scale + out_zero), min_v, max_v)
+    return w_q, out_scale, out_zero
