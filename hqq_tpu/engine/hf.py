@@ -49,6 +49,20 @@ _HQQ_REGISTRY: Dict[str, dict] = {
 }
 
 
+def _register_mixtral():
+    from . import hf as _self  # noqa
+    from ..models import mixtral as mixtral_mod
+
+    _HQQ_REGISTRY["mixtral"] = {
+        "config": mixtral_mod.MixtralConfig.from_hf,
+        "forward": mixtral_mod.forward,
+        "loader": mixtral_mod.params_from_hf_state_dict,
+    }
+
+
+_register_mixtral()
+
+
 def register_arch(model_type: str, config, forward, loader) -> None:
     """≙ `HQQWrapper._HQQ_REGISTRY` extension point (ref engine/base.py:13)."""
     _HQQ_REGISTRY[model_type] = {"config": config, "forward": forward, "loader": loader}
@@ -136,11 +150,16 @@ class HQQModelForCausalLM:
         model_type = config.get("model_type", "llama")
         arch = _HQQ_REGISTRY[model_type]
         hf_cfg = config.get("hf_config", {})
-        cfg = (
-            llama.LlamaConfig(**hf_cfg)
-            if model_type in ("llama", "mistral")
-            else arch["config"](hf_cfg)
-        )
+        # hf_config was produced by dataclasses.asdict on save: reconstruct
+        # the dataclass directly.
+        if model_type in ("llama", "mistral"):
+            cfg = llama.LlamaConfig(**hf_cfg)
+        elif model_type == "mixtral":
+            from ..models import mixtral as mixtral_mod
+
+            cfg = mixtral_mod.MixtralConfig(**hf_cfg)
+        else:
+            cfg = arch["config"](hf_cfg)
         return HQQModel(params=params, cfg=cfg, model_type=model_type, quantized=True)
 
     # convenience passthroughs (≙ HQQWrapper classmethods)

@@ -110,6 +110,29 @@ def tree_to_state(tree: Any, prefix: str = "") -> Tuple[Dict[str, Any], Any]:
                     "bias": rec(node.bias, f"{path}.bias"),
                 },
             }
+        if type(node).__name__ == "GroupedLinear":
+            return {
+                "type": "GroupedLinear",
+                "children": {
+                    "weight": rec(node.weight, f"{path}.weight"),
+                    "bias": rec(node.bias, f"{path}.bias"),
+                },
+            }
+        if type(node).__name__ == "GroupedQuantLinear":
+            flat[f"{path}.W_q"] = node.wq
+            flat[f"{path}.scale"] = node.scale
+            flat[f"{path}.zero"] = node.zero
+            return {
+                "type": "GroupedQuantLinear",
+                "meta": {
+                    "nbits": node.nbits,
+                    "group_size": node.group_size,
+                    "axis": node.axis,
+                    "shape": list(node.shape),
+                    "packing": node.packing,
+                    "compute_dtype": _dtype_name(node.compute_dtype),
+                },
+            }
         if isinstance(node, Linear):
             return {
                 "type": "Linear",
@@ -201,6 +224,29 @@ def state_to_tree(
                 bias=rec(node["children"]["bias"], f"{path}.bias"),
                 scaling=node["meta"]["scaling"],
                 dropout=node["meta"]["dropout"],
+            )
+        if t == "GroupedLinear":
+            from ..nn.moe import GroupedLinear
+
+            return GroupedLinear(
+                weight=rec(node["children"]["weight"], f"{path}.weight"),
+                bias=rec(node["children"]["bias"], f"{path}.bias"),
+            )
+        if t == "GroupedQuantLinear":
+            from ..nn.moe import GroupedQuantLinear
+
+            m = node["meta"]
+            nbits = m["nbits"]
+            return GroupedQuantLinear(
+                wq=get(f"{path}.W_q"),
+                scale=get(f"{path}.scale"),
+                zero=get(f"{path}.zero"),
+                nbits=int(nbits) if float(nbits).is_integer() else float(nbits),
+                group_size=m["group_size"],
+                axis=m["axis"],
+                shape=tuple(m["shape"]),
+                packing=m["packing"],
+                compute_dtype=_DTYPE_NAMES[m["compute_dtype"]],
             )
         if t == "Linear":
             return Linear(
