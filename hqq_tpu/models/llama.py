@@ -208,6 +208,42 @@ def _apply_rope(x: Array, cos: Array, sin: Array) -> Array:
     )
 
 
+def positions_and_masks(
+    cfg: LlamaConfig,
+    t: int,
+    start_pos: int | Array,
+    cache_max_len: Optional[int],
+    kv_valid: Optional[Array] = None,
+):
+    """Shared position / RoPE-table / attention-mask construction.
+
+    `start_pos` may be a scalar (whole batch at the same offset) or a [B]
+    vector (continuous batching: every slot at its own decode offset).
+    Returns (positions, cos, sin, mask).
+    """
+    pos_arr = jnp.asarray(start_pos)
+    if pos_arr.ndim == 0:
+        positions = pos_arr + jnp.arange(t)  # [T]
+        pos_bt = positions[None, :]  # [1, T]
+    else:
+        positions = pos_arr[:, None] + jnp.arange(t)[None, :]  # [B, T]
+        pos_bt = positions
+    cos, sin = _rope_cos_sin(pos_bt.reshape(-1), cfg.head_dim_, cfg.rope_theta)
+    cos = cos.reshape(*pos_bt.shape, cfg.head_dim_)[:, None]  # [B|1, 1, T, hd]
+    sin = sin.reshape(*pos_bt.shape, cfg.head_dim_)[:, None]
+
+    neg = jnp.finfo(jnp.float32).min
+    if cache_max_len is None:
+        mask = jnp.where(jnp.tril(jnp.ones((t, t), bool)), 0.0, neg)[None, None]
+    else:
+        key_pos = jnp.arange(cache_max_len)
+        visible = key_pos[None, None, :] <= pos_bt[:, :, None]  # [B|1, T, S]
+        mask = jnp.where(visible, 0.0, neg)[:, None]  # [B|1, 1, T, S]
+        if kv_valid is not None:
+            mask = mask + jnp.where(kv_valid, 0.0, neg)[:, None, None, :]
+    return positions, cos, sin, mask
+
+
 def _attention(
     layer: dict,
     cfg: LlamaConfig,
@@ -229,9 +265,18 @@ def _attention(
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
 
-    # Write new K/V into the static cache at [start_pos : start_pos+t).
-    cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, 0, start_pos, 0))
-    cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, 0, start_pos, 0))
+    # Write new K/V into the static cache at [start_pos : start_pos+t)
+    # (per-row offsets via vmapped dynamic_update_slice for vector start_pos).
+    pos_arr = jnp.asarray(start_pos)
+    if pos_arr.ndim == 0:
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, 0, pos_arr, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, 0, pos_arr, 0))
+    else:
+        upd = jax.vmap(
+            lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0))
+        )
+        cache_k = upd(cache_k, k, pos_arr)
+        cache_v = upd(cache_v, v, pos_arr)
 
     # GQA: expand kv heads to query heads.
     rep = nh // nkv
@@ -269,26 +314,9 @@ def forward(
     b, t = tokens.shape
     x = jnp.take(params["embed_tokens"], tokens, axis=0)
 
-    positions = start_pos + jnp.arange(t)
-    cos, sin = _rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta)
-
-    if cache is None:
-        # causal [T, T]
-        mask = jnp.where(
-            jnp.tril(jnp.ones((t, t), bool)), 0.0, jnp.finfo(jnp.float32).min
-        )[None, None]
-        s_max = None
-    else:
-        # queries at positions, keys at [0, S_max): key j visible iff j <= pos
-        s_max = cache.max_len
-        key_pos = jnp.arange(s_max)
-        visible = key_pos[None, :] <= positions[:, None]  # [T, S_max]
-        mask = jnp.where(visible, 0.0, jnp.finfo(jnp.float32).min)[None, None]
-        if kv_valid is not None:
-            pad_mask = jnp.where(
-                kv_valid, 0.0, jnp.finfo(jnp.float32).min
-            )[:, None, None, :]  # [B, 1, 1, S_max]
-            mask = mask + pad_mask
+    _, cos, sin, mask = positions_and_masks(
+        cfg, t, start_pos, None if cache is None else cache.max_len, kv_valid
+    )
 
     new_k, new_v = [], []
     for i, layer in enumerate(params["layers"]):

@@ -139,21 +139,9 @@ def forward(
     b, t = tokens.shape
     x = jnp.take(params["embed_tokens"], tokens, axis=0)
 
-    positions = start_pos + jnp.arange(t)
-    cos, sin = llama._rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta)
-
-    if cache is None:
-        mask = jnp.where(
-            jnp.tril(jnp.ones((t, t), bool)), 0.0, jnp.finfo(jnp.float32).min
-        )[None, None]
-    else:
-        key_pos = jnp.arange(cache.max_len)
-        visible = key_pos[None, :] <= positions[:, None]
-        mask = jnp.where(visible, 0.0, jnp.finfo(jnp.float32).min)[None, None]
-        if kv_valid is not None:
-            mask = mask + jnp.where(kv_valid, 0.0, jnp.finfo(jnp.float32).min)[
-                :, None, None, :
-            ]
+    _, cos, sin, mask = llama.positions_and_masks(
+        cfg, t, start_pos, None if cache is None else cache.max_len, kv_valid
+    )
 
     new_k, new_v = [], []
     for i, layer in enumerate(params["layers"]):

@@ -1,2 +1,3 @@
 # SPDX-License-Identifier: Apache-2.0
+from .batching import ContinuousBatchingEngine, Request  # noqa: F401
 from .generate import Generator, next_power_of_2, sample_token  # noqa: F401

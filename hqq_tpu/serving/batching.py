@@ -1,0 +1,196 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Continuous-batching serving engine.
+
+The TPU-native replacement for the reference's vLLM integration
+(`/root/reference/hqq/utils/vllm.py` — the reference does not implement its
+own scheduler; it plugs HQQ weights into vLLM's). This engine owns the whole
+loop:
+
+* a fixed pool of `batch_slots` decode slots backed by ONE static KV cache
+  [L, S, n_kv, max_len, hd] — static shapes, so the decode step compiles once;
+* per-slot positions (vector `start_pos`) so every slot decodes at its own
+  offset — requests join and leave the batch without touching the others;
+* prefill runs in a per-request mini-cache (bucketed prompt lengths) and is
+  spliced into the slot's cache rows with one dynamic_update_slice;
+* finished slots (EOS / max_new_tokens) retire on the host between steps and
+  free slots are immediately refilled from the queue — continuous batching;
+* on-the-fly quantization at load (≙ `HQQOnTheFlyConfig`, ref
+  `utils/vllm.py:578-868`) falls out of the functional design: load fp
+  weights, `quantize_model(...)`, serve.
+
+Works with any forward following the llama contract, including the
+`shard_map` tensor-parallel forward from `hqq_tpu.parallel.tp` (pass
+`forward_fn=tp_forward_fn(...)` and a sharded cache).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from .generate import next_power_of_2, sample_token
+
+__all__ = ["Request", "ContinuousBatchingEngine"]
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: np.ndarray  # [T] int32
+    max_new_tokens: int
+    output: List[int] = dataclasses.field(default_factory=list)
+    slot: Optional[int] = None
+    done: bool = False
+
+
+class ContinuousBatchingEngine:
+    def __init__(
+        self,
+        params: Any,
+        cfg: Any,
+        batch_slots: int = 8,
+        max_len: int = 1024,
+        eos_token_id: Optional[int] = None,
+        do_sample: bool = False,
+        top_k: int = 20,
+        temperature: float = 0.6,
+        cache_dtype=jnp.bfloat16,
+        forward_fn: Optional[Callable] = None,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.s = batch_slots
+        self.max_len = max_len
+        self.eos = eos_token_id
+        self.do_sample = do_sample
+        self.top_k = top_k
+        self.temperature = temperature
+        self._fwd = forward_fn or (
+            lambda p, toks, cache, pos: llama.forward(p, cfg, toks, cache, pos)
+        )
+
+        self.cache = llama.init_cache(cfg, batch_slots, max_len, cache_dtype)
+        self._key = jax.random.PRNGKey(seed)
+
+        # host-side state
+        self.queue: deque[Request] = deque()
+        self.active: Dict[int, Request] = {}  # slot -> request
+        self.finished: Dict[int, Request] = {}
+        self._uid = 0
+        self._tokens = np.zeros((batch_slots,), np.int32)  # next input token
+        self._pos = np.zeros((batch_slots,), np.int32)  # write position
+        self._live = np.zeros((batch_slots,), bool)
+
+        self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("t_pad",))
+        self._decode_jit = jax.jit(self._decode_impl)
+
+    # -- jitted kernels ------------------------------------------------------
+    def _prefill_impl(self, params, tokens, mini_cache, *, t_pad):
+        logits, mini_cache = self._fwd(params, tokens, mini_cache, 0)
+        return logits, mini_cache
+
+    def _decode_impl(self, params, tokens, cache, pos, live, key):
+        """One decode step for all slots; inactive slots are computed but
+        ignored (static batch)."""
+        logits, cache = self._fwd(params, tokens[:, None], cache, pos)
+        key, sub = jax.random.split(key)
+        nxt = sample_token(
+            logits[:, -1], sub, self.do_sample, self.top_k, self.temperature
+        )
+        return nxt.astype(jnp.int32), cache, key
+
+    # -- public API -----------------------------------------------------------
+    def add_request(self, prompt_ids, max_new_tokens: int = 128) -> int:
+        self._uid += 1
+        req = Request(
+            uid=self._uid,
+            prompt=np.asarray(prompt_ids, np.int32).reshape(-1),
+            max_new_tokens=max_new_tokens,
+        )
+        self.queue.append(req)
+        return req.uid
+
+    def _admit(self, slot: int, req: Request) -> None:
+        """Prefill `req` into `slot` (bucketed compile)."""
+        t = len(req.prompt)
+        t_pad = next_power_of_2(max(t, 2))
+        prompt = np.zeros((1, t_pad), np.int32)
+        prompt[0, :t] = req.prompt
+
+        mini = llama.init_cache(self.cfg, 1, self.max_len, self.cache.k.dtype)
+        logits, mini = self._prefill_jit(
+            self.params, jnp.asarray(prompt), mini, t_pad=t_pad
+        )
+        # splice the mini-cache into this slot's rows
+        self.cache = llama.KVCache(
+            k=jax.lax.dynamic_update_slice(
+                self.cache.k, mini.k, (0, slot, 0, 0, 0)
+            ),
+            v=jax.lax.dynamic_update_slice(
+                self.cache.v, mini.v, (0, slot, 0, 0, 0)
+            ),
+        )
+        self._key, sub = jax.random.split(self._key)
+        first = sample_token(
+            logits[:, t - 1], sub, self.do_sample, self.top_k, self.temperature
+        )
+        req.slot = slot
+        req.output = [int(first[0])]
+        self.active[slot] = req
+        self._tokens[slot] = int(first[0])
+        self._pos[slot] = t
+        self._live[slot] = True
+        self._maybe_finish(slot)
+
+    def _maybe_finish(self, slot: int) -> None:
+        req = self.active.get(slot)
+        if req is None:
+            return
+        last = req.output[-1] if req.output else None
+        if (self.eos is not None and last == self.eos) or len(
+            req.output
+        ) >= req.max_new_tokens or int(self._pos[slot]) >= self.max_len - 1:
+            req.done = True
+            self.finished[req.uid] = req
+            del self.active[slot]
+            self._live[slot] = False
+
+    def _schedule(self) -> None:
+        for slot in range(self.s):
+            if not self._live[slot] and self.queue:
+                self._admit(slot, self.queue.popleft())
+
+    def step(self) -> int:
+        """Admit pending requests, run one decode step. Returns #active."""
+        self._schedule()
+        if not self.active:
+            return 0
+        nxt, self.cache, self._key = self._decode_jit(
+            self.params,
+            jnp.asarray(self._tokens),
+            self.cache,
+            jnp.asarray(self._pos),
+            jnp.asarray(self._live),
+            self._key,
+        )
+        nxt = np.asarray(nxt)
+        for slot in list(self.active):
+            req = self.active[slot]
+            req.output.append(int(nxt[slot]))
+            self._tokens[slot] = int(nxt[slot])
+            self._pos[slot] += 1
+            self._maybe_finish(slot)
+        return len(self.active)
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drain the queue; returns {uid: generated token ids}."""
+        while self.queue or self.active:
+            self.step()
+        return {uid: r.output for uid, r in self.finished.items()}

@@ -1,0 +1,89 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Continuous batching engine: outputs must match single-request generation
+regardless of batching/admission order; slots refill; EOS/max_new honored."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from hqq_tpu.core.quantize import BaseQuantizeConfig
+from hqq_tpu.models import LlamaConfig, init_params, quantize_model
+from hqq_tpu.serving import ContinuousBatchingEngine, Generator
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = LlamaConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    qparams = quantize_model(
+        params, BaseQuantizeConfig(nbits=4, group_size=32), compute_dtype=jnp.float32
+    )
+    return cfg, qparams
+
+
+def test_matches_single_generation(model):
+    cfg, params = model
+    prompts = [[1, 7, 3], [9, 2], [4, 4, 4, 4], [8]]
+    n_new = 10
+
+    gen = Generator(params, cfg, cache_dtype=jnp.float32)
+    expected = {
+        i: gen.generate([p], max_new_tokens=n_new)[0].tolist()
+        for i, p in enumerate(prompts)
+    }
+
+    eng = ContinuousBatchingEngine(
+        params, cfg, batch_slots=2, max_len=64, cache_dtype=jnp.float32
+    )
+    uids = [eng.add_request(p, max_new_tokens=n_new) for p in prompts]
+    out = eng.run()
+
+    for i, uid in enumerate(uids):
+        assert out[uid] == expected[i], f"request {i}: {out[uid]} != {expected[i]}"
+
+
+def test_slot_reuse(model):
+    cfg, params = model
+    eng = ContinuousBatchingEngine(
+        params, cfg, batch_slots=1, max_len=64, cache_dtype=jnp.float32
+    )
+    u1 = eng.add_request([1, 2], max_new_tokens=4)
+    u2 = eng.add_request([3, 4], max_new_tokens=4)
+    out = eng.run()
+    assert len(out[u1]) == 4 and len(out[u2]) == 4
+
+
+def test_interleaved_admission(model):
+    """A request added mid-flight must not perturb running requests."""
+    cfg, params = model
+    n_new = 8
+    gen = Generator(params, cfg, cache_dtype=jnp.float32)
+    exp_a = gen.generate([[5, 5, 5]], max_new_tokens=n_new)[0].tolist()
+    exp_b = gen.generate([[6, 1]], max_new_tokens=n_new)[0].tolist()
+
+    eng = ContinuousBatchingEngine(
+        params, cfg, batch_slots=4, max_len=64, cache_dtype=jnp.float32
+    )
+    ua = eng.add_request([5, 5, 5], max_new_tokens=n_new)
+    for _ in range(3):
+        eng.step()
+    ub = eng.add_request([6, 1], max_new_tokens=n_new)
+    out = eng.run()
+    assert out[ua] == exp_a
+    assert out[ub] == exp_b
+
+
+def test_eos_stops(model):
+    cfg, params = model
+    gen = Generator(params, cfg, cache_dtype=jnp.float32)
+    ref = gen.generate([[2, 3]], max_new_tokens=12)[0].tolist()
+    eos = ref[4]
+    eng = ContinuousBatchingEngine(
+        params, cfg, batch_slots=2, max_len=64, eos_token_id=eos,
+        cache_dtype=jnp.float32,
+    )
+    uid = eng.add_request([2, 3], max_new_tokens=12)
+    out = eng.run()
+    assert out[uid][-1] == eos or len(out[uid]) == 12
+    assert len(out[uid]) <= 12
