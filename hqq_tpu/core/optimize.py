@@ -39,6 +39,7 @@ __all__ = [
     "optimize_weights_proximal_v2",
     "optimize_weights_autograd",
     "update_scale_grid_search",
+    "update_scale_inverse_median",
     "DEFAULT_OPT_PARAMS",
 ]
 
@@ -198,6 +199,41 @@ def update_scale_grid_search(
     err = jnp.abs(w_f[None] - w_r).mean(axis=axis + 1, keepdims=True)  # [N, groups]
     best = jnp.argmin(err, axis=0, keepdims=True)
     return jnp.take_along_axis(cand, best, axis=0)[0]
+
+
+def update_scale_inverse_median(
+    w_f: Array,
+    scale: Array,
+    zero: Array,
+    axis: int,
+    min_max: tuple,
+) -> tuple[Array, Array]:
+    """Re-estimate the (inverse) scale as the per-group median of
+    ``(W_q - zero) / W_f`` and keep it only where it lowers the L1 error
+    (≙ `/root/reference/hqq/core/optimize.py:12-49`). Returns
+    (scale, zero_corrected)."""
+    scale_rng = 2e4
+    z_val = 1e-4
+    delta = 1e-2
+
+    w_q = jnp.clip(jnp.round(w_f * scale + zero), min_max[0], min_max[1])
+
+    # Nudge the zero wherever some code hits it exactly, so the inverse is
+    # well-defined.
+    hit = jnp.sum(((w_q - zero) == 0).astype(w_f.dtype), axis=axis, keepdims=True) > 0
+    zero_c = jnp.where(hit, zero + delta, zero)
+
+    w_f_c = jnp.where(jnp.abs(w_f) < z_val, z_val, w_f)
+    scale_tensor = (w_q - zero_c) / w_f_c
+
+    scale_b = jnp.median(scale_tensor, axis=axis, keepdims=True)
+    scale_b = jnp.clip(scale_b, -scale_rng, scale_rng)
+
+    # Keep the new scale only per-group where it improves the error.
+    err_b = jnp.abs(w_f - (w_q - zero_c) / scale_b).mean(axis=axis, keepdims=True)
+    err_a = jnp.abs(w_f - (w_q - zero_c) / scale).mean(axis=axis, keepdims=True)
+    scale_b = jnp.where(err_b < err_a, scale_b, scale)
+    return scale_b, zero_c
 
 
 def optimize_weights_proximal_v2(

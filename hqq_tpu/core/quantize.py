@@ -39,6 +39,7 @@ __all__ = [
     "Quantizer",
     "quantize",
     "dequantize",
+    "resolve_meta",
     "BaseQuantizeConfig",
     "SUPPORTED_BITS",
     "BIT_TO_PACKING",
@@ -100,9 +101,19 @@ class QTensor:
 
     @property
     def nbytes(self) -> int:
-        return sum(
-            np.prod(a.shape) * a.dtype.itemsize for a in (self.wq, self.scale, self.zero)
-        )
+        def nb(a):
+            if isinstance(a, QTensor):
+                return a.nbytes
+            return int(np.prod(a.shape)) * a.dtype.itemsize
+
+        return nb(self.wq) + nb(self.scale) + nb(self.zero)
+
+    @property
+    def is_meta_quantized(self) -> bool:
+        """True when scale and/or zero are themselves quantized (nested
+        QTensor) — ≙ reference `quant_scale`/`quant_zero`
+        (`/root/reference/hqq/core/quantize.py:808-828`)."""
+        return isinstance(self.scale, QTensor) or isinstance(self.zero, QTensor)
 
     def dequantize(self, dtype=None) -> Array:
         return dequantize(self, dtype=dtype)
@@ -210,6 +221,8 @@ def quantize(
     compute_dtype=jnp.bfloat16,
     meta_dtype=jnp.float32,
     opt_params: Optional[dict] = None,
+    scale_quant_params: Optional[dict] = None,
+    zero_quant_params: Optional[dict] = None,
 ) -> QTensor:
     """Quantize a 2-D weight matrix to an HQQ `QTensor`.
 
@@ -254,6 +267,11 @@ def quantize(
         wq = wq.astype(compute_dtype)
         packing = None
 
+    if zero_quant_params is not None:
+        zero = _quantize_meta(zero, zero_quant_params)
+    if scale_quant_params is not None:
+        scale = _quantize_meta(scale, scale_quant_params)
+
     return QTensor(
         wq=wq,
         scale=scale,
@@ -266,6 +284,51 @@ def quantize(
         compute_dtype=compute_dtype,
         channel_wise=channel_wise,
     )
+
+
+def _quantize_meta(arr: Array, params: dict) -> QTensor:
+    """Quantize a scale/zero tensor itself (meta-quantization), ≙ reference
+    `HQQLinear.quantize`'s `zero_q`/`scale_q` (`core/quantize.py:810-828`).
+    Defaults mirror `hqq_base_quant_config` (`core/quantize.py:1102-1144`):
+    8-bit, no solver, axis=0."""
+    p = dict(
+        nbits=8,
+        channel_wise=True,
+        group_size=128,
+        optimize=False,
+        round_zero=False,
+        axis=0,
+    )
+    p.update(params or {})
+    if p["group_size"] is not None and arr.size % p["group_size"] != 0:
+        # Meta tensors can be small/odd-shaped; fall back to tensor-wise.
+        p["channel_wise"] = False
+        p["group_size"] = None
+    return quantize(
+        arr,
+        nbits=p["nbits"],
+        channel_wise=p["channel_wise"],
+        group_size=p["group_size"],
+        optimize=bool(p["optimize"]),
+        round_zero=bool(p["round_zero"]),
+        axis=p["axis"],
+        compute_dtype=jnp.float32,
+        meta_dtype=jnp.float32,
+    )
+
+
+def resolve_meta(qt: QTensor) -> QTensor:
+    """Return an equivalent QTensor whose scale/zero are plain arrays
+    (dequantizing nested meta-QTensors if present)."""
+    if not qt.is_meta_quantized:
+        return qt
+    scale = qt.scale
+    zero = qt.zero
+    if isinstance(scale, QTensor):
+        scale = dequantize(scale, jnp.float32)
+    if isinstance(zero, QTensor):
+        zero = dequantize(zero, jnp.float32)
+    return dataclasses.replace(qt, scale=scale, zero=zero)
 
 
 def _logical_rows(qt: QTensor) -> int:
@@ -290,7 +353,9 @@ def unpack_codes(qt: QTensor, dtype=jnp.float32) -> Array:
 
 def dequantize(qt: QTensor, dtype=None) -> Array:
     """(W_q - zero) * scale, reshaped to the original weight shape
-    (≙ `Quantizer.dequantize`, `/root/reference/hqq/core/quantize.py:183-199`)."""
+    (≙ `Quantizer.dequantize`, `/root/reference/hqq/core/quantize.py:183-199`);
+    meta-quantized scale/zero are dequantized on the fly."""
+    qt = resolve_meta(qt)
     out_dtype = dtype if dtype is not None else qt.compute_dtype
     w_r = unpack_codes(qt, qt.scale.dtype)
     w_r = (w_r - qt.zero) * qt.scale
@@ -323,17 +388,19 @@ def BaseQuantizeConfig(
 ) -> dict:
     """Build a quant config dict (≙ `/root/reference/hqq/core/quantize.py:1076-1155`).
 
-    `quant_zero`/`quant_scale` (meta-quantization) and `offload_meta` are
-    deprecated in the reference and ignored here; `view_as_float` is a torch
-    FSDP workaround with no JAX analogue (packed arrays are first-class pytree
-    leaves) and is likewise accepted-and-ignored.
+    `quant_zero`/`quant_scale` quantize the zero/scale tensors themselves to
+    8-bit (deprecated in the reference but supported here for parity);
+    `offload_meta` (pinned-host meta streaming) and `view_as_float` (a torch
+    FSDP workaround) have no TPU analogue — packed arrays are first-class
+    pytree leaves — and are accepted-and-ignored.
     """
     nbits = _canon_bits(nbits)
     if group_size is not None:
         assert group_size % 8 == 0, "group_size must be a multiple of 8 (or None)"
     if quant_zero or quant_scale:
         warnings.warn(
-            "quant_zero/quant_scale (meta-quantization) are deprecated and ignored.",
+            "quant_zero/quant_scale (meta-quantization) are deprecated in "
+            "reference HQQ; supported here for parity.",
             DeprecationWarning,
             stacklevel=2,
         )
@@ -349,9 +416,21 @@ def BaseQuantizeConfig(
         "axis": axis,
         "compute_dtype": compute_dtype,
     }
+    # Meta-quant parameterization mirrors `hqq_base_quant_config`
+    # (ref `core/quantize.py:1122-1144`).
+    scale_quant_params = (
+        {"nbits": 8, "channel_wise": True, "group_size": 128, "optimize": False}
+        if quant_scale
+        else None
+    )
+    zero_quant_params = (
+        {"nbits": 8, "channel_wise": False, "group_size": None, "optimize": False}
+        if quant_zero
+        else None
+    )
     return {
         "weight_quant_params": weight_quant_params,
-        "scale_quant_params": None,
-        "zero_quant_params": None,
+        "scale_quant_params": scale_quant_params,
+        "zero_quant_params": zero_quant_params,
         "offload_meta": False,
     }

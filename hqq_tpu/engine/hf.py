@@ -39,14 +39,35 @@ _HQQ_REGISTRY: Dict[str, dict] = {
         "forward": llama.forward,
         "loader": hf_loader.params_from_hf_state_dict,
     },
-    # Mistral's decoder is Llama-shaped (≙ reference MistralHQQ reusing the
-    # same linear tags, `/root/reference/hqq/models/hf/mistral.py`)
-    "mistral": {
-        "config": llama.LlamaConfig.from_hf,
-        "forward": llama.forward,
-        "loader": hf_loader.params_from_hf_state_dict,
-    },
 }
+
+
+def _register_mistral():
+    # Mistral's decoder is Llama-shaped plus a sliding attention window
+    # (≙ reference MistralHQQ reusing the same linear tags,
+    # `/root/reference/hqq/models/hf/mistral.py`)
+    from ..models import mistral as mistral_mod
+
+    _HQQ_REGISTRY["mistral"] = {
+        "config": mistral_mod.MistralConfig.from_hf,
+        "forward": mistral_mod.forward,
+        "loader": hf_loader.params_from_hf_state_dict,
+    }
+
+
+def _register_phi():
+    # ≙ reference PhiHQQ (`/root/reference/hqq/models/hf/phi.py:11-63`)
+    from ..models import phi as phi_mod
+
+    _HQQ_REGISTRY["phi"] = {
+        "config": phi_mod.PhiConfig.from_hf,
+        "forward": phi_mod.forward,
+        "loader": phi_mod.params_from_hf_state_dict,
+    }
+
+
+_register_mistral()
+_register_phi()
 
 
 def _register_mixtral():
@@ -152,12 +173,20 @@ class HQQModelForCausalLM:
         hf_cfg = config.get("hf_config", {})
         # hf_config was produced by dataclasses.asdict on save: reconstruct
         # the dataclass directly.
-        if model_type in ("llama", "mistral"):
+        if model_type == "llama":
             cfg = llama.LlamaConfig(**hf_cfg)
+        elif model_type == "mistral":
+            from ..models import mistral as mistral_mod
+
+            cfg = mistral_mod.MistralConfig(**hf_cfg)
         elif model_type == "mixtral":
             from ..models import mixtral as mixtral_mod
 
             cfg = mixtral_mod.MixtralConfig(**hf_cfg)
+        elif model_type == "phi":
+            from ..models import phi as phi_mod
+
+            cfg = phi_mod.PhiConfig(**hf_cfg)
         else:
             cfg = arch["config"](hf_cfg)
         return HQQModel(params=params, cfg=cfg, model_type=model_type, quantized=True)

@@ -45,6 +45,8 @@ class LlamaConfig:
     tie_word_embeddings: bool = False
     attention_bias: bool = False
     mlp_bias: bool = False
+    # Sliding-window attention (Mistral-style); None = full causal.
+    sliding_window: Optional[int] = None
 
     @property
     def head_dim_(self) -> int:
@@ -69,6 +71,7 @@ class LlamaConfig:
             tie_word_embeddings=hf.get("tie_word_embeddings", False),
             attention_bias=hf.get("attention_bias", False),
             mlp_bias=hf.get("mlp_bias", False),
+            sliding_window=hf.get("sliding_window"),
         )
 
     @classmethod
@@ -233,11 +236,18 @@ def positions_and_masks(
     sin = sin.reshape(*pos_bt.shape, cfg.head_dim_)[:, None]
 
     neg = jnp.finfo(jnp.float32).min
+    window = getattr(cfg, "sliding_window", None)
     if cache_max_len is None:
-        mask = jnp.where(jnp.tril(jnp.ones((t, t), bool)), 0.0, neg)[None, None]
+        visible_tt = jnp.tril(jnp.ones((t, t), bool))
+        if window is not None:
+            qp = jnp.arange(t)
+            visible_tt &= (qp[:, None] - qp[None, :]) < window
+        mask = jnp.where(visible_tt, 0.0, neg)[None, None]
     else:
         key_pos = jnp.arange(cache_max_len)
         visible = key_pos[None, None, :] <= pos_bt[:, :, None]  # [B|1, T, S]
+        if window is not None:
+            visible &= (pos_bt[:, :, None] - key_pos[None, None, :]) < window
         mask = jnp.where(visible, 0.0, neg)[:, None]  # [B|1, 1, T, S]
         if kv_valid is not None:
             mask = mask + jnp.where(kv_valid, 0.0, neg)[:, None, None, :]

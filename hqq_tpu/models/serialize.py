@@ -35,7 +35,9 @@ _DTYPE_NAMES = {
     "float16": jnp.float16,
     "float32": jnp.float32,
     "uint8": jnp.uint8,
+    "int8": jnp.int8,
     "int32": jnp.int32,
+    "uint32": jnp.uint32,
 }
 
 
@@ -99,6 +101,14 @@ def tree_to_state(tree: Any, prefix: str = "") -> Tuple[Dict[str, Any], Any]:
                     "compute_dtype": _dtype_name(node.compute_dtype),
                 },
             }
+        if type(node).__name__ == "Int8QuantLinear":
+            flat[f"{path}.w8"] = node.w8
+            flat[f"{path}.sw"] = node.sw
+            return {
+                "type": "Int8QuantLinear",
+                "meta": {"compute_dtype": _dtype_name(node.compute_dtype)},
+                "children": {"bias": rec(node.bias, f"{path}.bias")},
+            }
         if type(node).__name__ == "LoRALinear":
             return {
                 "type": "LoRALinear",
@@ -143,12 +153,21 @@ def tree_to_state(tree: Any, prefix: str = "") -> Tuple[Dict[str, Any], Any]:
             }
         if isinstance(node, QTensor):
             # W_q/scale/zero array names mirror the reference state_dict keys
-            # (`/root/reference/hqq/core/quantize.py:615-680`).
+            # (`/root/reference/hqq/core/quantize.py:615-680`). Meta-quantized
+            # scale/zero (nested QTensors, ≙ ref scale_q/zero_q) recurse.
             flat[f"{path}.W_q"] = node.wq
-            flat[f"{path}.scale"] = node.scale
-            flat[f"{path}.zero"] = node.zero
+            children = {}
+            if isinstance(node.scale, QTensor):
+                children["scale_q"] = rec(node.scale, f"{path}.scale_q")
+            else:
+                flat[f"{path}.scale"] = node.scale
+            if isinstance(node.zero, QTensor):
+                children["zero_q"] = rec(node.zero, f"{path}.zero_q")
+            else:
+                flat[f"{path}.zero"] = node.zero
             return {
                 "type": "QTensor",
+                "children": children,
                 "meta": {
                     "nbits": node.nbits,
                     "group_size": node.group_size,
@@ -214,6 +233,15 @@ def state_to_tree(
                 shape=tuple(m["shape"]),
                 compute_dtype=_DTYPE_NAMES[m["compute_dtype"]],
             )
+        if t == "Int8QuantLinear":
+            from ..backends.int8_backend import Int8QuantLinear
+
+            return Int8QuantLinear(
+                w8=get(f"{path}.w8"),
+                sw=get(f"{path}.sw"),
+                bias=rec(node["children"]["bias"], f"{path}.bias"),
+                compute_dtype=_DTYPE_NAMES[node["meta"]["compute_dtype"]],
+            )
         if t == "LoRALinear":
             from ..core.peft import LoRALinear
 
@@ -256,10 +284,19 @@ def state_to_tree(
         if t == "QTensor":
             m = node["meta"]
             nbits = m["nbits"]
+            children = node.get("children") or {}
+            if "scale_q" in children:
+                scale = rec(children["scale_q"], f"{path}.scale_q")
+            else:
+                scale = get(f"{path}.scale")
+            if "zero_q" in children:
+                zero = rec(children["zero_q"], f"{path}.zero_q")
+            else:
+                zero = get(f"{path}.zero")
             return QTensor(
                 wq=get(f"{path}.W_q"),
-                scale=get(f"{path}.scale"),
-                zero=get(f"{path}.zero"),
+                scale=scale,
+                zero=zero,
                 nbits=int(nbits) if float(nbits).is_integer() else float(nbits),
                 group_size=m["group_size"],
                 axis=m["axis"],

@@ -151,6 +151,10 @@ class QuantLinear:
         params: dict = {}
         if quant_config is not None:
             params.update(quant_config["weight_quant_params"])
+            if quant_config.get("scale_quant_params") is not None:
+                params["scale_quant_params"] = quant_config["scale_quant_params"]
+            if quant_config.get("zero_quant_params") is not None:
+                params["zero_quant_params"] = quant_config["zero_quant_params"]
         params.update(quant_kwargs)
         if compute_dtype is not None:
             params["compute_dtype"] = compute_dtype

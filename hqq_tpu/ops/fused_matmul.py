@@ -41,7 +41,7 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.quantize import QTensor, unpack_codes
+from ..core.quantize import QTensor, resolve_meta, unpack_codes
 
 __all__ = ["KernelQTensor", "to_kernel_layout", "quant_matmul_pallas", "dequant_pallas"]
 
@@ -122,6 +122,7 @@ def to_kernel_layout(qt: QTensor) -> KernelQTensor:
         "kernel layout requires axis=1 grouped quantization with "
         "group_size % (8/container_bits) == 0"
     )
+    qt = resolve_meta(qt)  # fused kernels consume plain fp scale/zero
     n_out, k = qt.shape
     g = qt.group_size
     cb = _KERNEL_CONTAINER_BITS[qt.nbits]

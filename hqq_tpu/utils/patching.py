@@ -9,6 +9,8 @@ on TPU to:
 
     "xla"    — keep QuantLinear (XLA-fused dequant+matmul)
     "pallas" — PallasQuantLinear (fused in-register dequant+matmul kernel)
+    "int8"   — Int8QuantLinear (dynamic A8W8, int8 MXU matmul, ≙ the
+               reference's experimental int8 path done as a prepared module)
 
 LoRA-wrapped layers convert their base in place (≙ ref `:26-50`).
 Also provides `patch_merge_zeros_with_lora` math helpers' analogue:
@@ -23,13 +25,14 @@ from typing import Any
 
 import jax.numpy as jnp
 
+from ..backends.int8_backend import patch_quantlinear_to_int8
 from ..backends.pallas_backend import PallasQuantLinear, patch_quantlinear_to_pallas
 from ..core.peft import LoRALinear
 from ..nn.linear import QuantLinear
 
-__all__ = ["prepare_for_inference", "merge_zeros_into_lora"]
+__all__ = ["prepare_for_inference", "merge_zeros_into_lora", "lowrank_approx"]
 
-BACKENDS = ("xla", "pallas")
+BACKENDS = ("xla", "pallas", "int8")
 
 
 def prepare_for_inference(params: Any, backend: str = "pallas", verbose: bool = False) -> Any:
@@ -48,6 +51,9 @@ def prepare_for_inference(params: Any, backend: str = "pallas", verbose: bool = 
             out = patch_quantlinear_to_pallas(node)
             stats["converted" if out is not node else "kept"] += 1
             return out
+        if isinstance(node, QuantLinear) and backend == "int8":
+            stats["converted"] += 1
+            return patch_quantlinear_to_int8(node)
         if isinstance(node, PallasQuantLinear) and backend == "xla":
             raise ValueError("cannot convert PallasQuantLinear back to xla backend")
         return node
@@ -56,6 +62,17 @@ def prepare_for_inference(params: Any, backend: str = "pallas", verbose: bool = 
     if verbose:
         print(f"prepare_for_inference[{backend}]: {stats}")
     return out
+
+
+def lowrank_approx(w, max_rank: int):
+    """Best rank-r approximation factors of a 2-D matrix via truncated SVD:
+    returns (A [in, r], B [r, out]) with W^T ~= A @ B
+    (≙ `low_rank_decomposition`, ref `utils/patching.py:180-189`)."""
+    u, s, vt = jnp.linalg.svd(jnp.asarray(w, jnp.float32).T, full_matrices=False)
+    r = min(int(max_rank), s.shape[0])
+    a = u[:, :r] * s[:r][None, :]
+    b = vt[:r, :]
+    return a, b
 
 
 def merge_zeros_into_lora(layer: QuantLinear, rank_pad: int = 1):

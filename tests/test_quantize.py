@@ -168,3 +168,108 @@ def test_reference_parity(nbits, axis, optimize):
     wr = np.asarray(dequantize(qt, jnp.float32))
     err = np.abs(wr - wr_ref).max()
     assert err < 5e-3, f"dequant max diff {err}"
+
+
+# ---------------------------------------------------------------------------
+# Meta-quantization (quant_zero / quant_scale), inverse-median, int8 backend
+# ---------------------------------------------------------------------------
+
+
+def test_meta_quantization_roundtrip(rng):
+    """quant_zero/quant_scale store scale/zero as nested 8-bit QTensors; the
+    extra error over plain meta must be small (8-bit meta is nearly lossless)."""
+    from hqq_tpu.core.quantize import QTensor, resolve_meta
+
+    w = rng.standard_normal((256, 128)).astype(np.float32) / 10.0
+    qt_plain = quantize(jnp.asarray(w), nbits=4, group_size=64, axis=1)
+    cfg = BaseQuantizeConfig(nbits=4, group_size=64, quant_zero=True, quant_scale=True)
+    qt_meta = quantize(
+        jnp.asarray(w),
+        scale_quant_params=cfg["scale_quant_params"],
+        zero_quant_params=cfg["zero_quant_params"],
+        nbits=4, group_size=64, axis=1,
+    )
+    assert qt_meta.is_meta_quantized
+    assert isinstance(qt_meta.scale, QTensor) and qt_meta.scale.nbits == 8
+    assert isinstance(qt_meta.zero, QTensor) and qt_meta.zero.nbits == 8
+    assert not qt_plain.is_meta_quantized
+
+    e_plain = _lp_err(w, np.asarray(dequantize(qt_plain, jnp.float32)))
+    e_meta = _lp_err(w, np.asarray(dequantize(qt_meta, jnp.float32)))
+    assert e_meta < e_plain * 1.15, f"meta-quant error blowup: {e_meta} vs {e_plain}"
+
+    resolved = resolve_meta(qt_meta)
+    assert not resolved.is_meta_quantized
+    np.testing.assert_allclose(
+        np.asarray(dequantize(resolved, jnp.float32)),
+        np.asarray(dequantize(qt_meta, jnp.float32)),
+    )
+
+
+def test_meta_quantization_serialization_roundtrip(rng, tmp_path):
+    from hqq_tpu.models.serialize import load_checkpoint, save_checkpoint
+    from hqq_tpu.nn import QuantLinear
+
+    w = rng.standard_normal((128, 64)).astype(np.float32)
+    cfg = BaseQuantizeConfig(nbits=4, group_size=32, quant_zero=True, quant_scale=True)
+    layer = QuantLinear.quantize(jnp.asarray(w), None, quant_config=cfg)
+    assert layer.qweight.is_meta_quantized
+
+    save_checkpoint(str(tmp_path / "ck"), {"l": layer})
+    loaded, _ = load_checkpoint(str(tmp_path / "ck"))
+    np.testing.assert_array_equal(
+        np.asarray(loaded["l"].qweight.wq), np.asarray(layer.qweight.wq)
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded["l"].dequantize(jnp.float32)),
+        np.asarray(layer.dequantize(jnp.float32)),
+    )
+
+
+def test_update_scale_inverse_median(rng):
+    from hqq_tpu.core.optimize import update_scale_inverse_median
+
+    w = rng.standard_normal((64, 128)).astype(np.float32)
+    w_f = jnp.asarray(w.reshape(64, -1))
+    mx = w_f.max(axis=0, keepdims=True)
+    mn = w_f.min(axis=0, keepdims=True)
+    scale = 15.0 / (mx - mn)
+    zero = -mn * scale
+    new_scale, zero_c = update_scale_inverse_median(w_f, scale, zero, 0, (0.0, 15.0))
+    assert new_scale.shape == scale.shape
+
+    def err(s, z):
+        wq = np.clip(np.round(np.asarray(w_f) * np.asarray(s) + np.asarray(z)), 0, 15)
+        return np.abs(np.asarray(w_f) - (wq - np.asarray(z)) / np.asarray(s)).mean()
+
+    assert err(new_scale, zero_c) <= err(scale, zero_c) * 1.001
+
+
+def test_int8_backend_matches_xla(rng):
+    from hqq_tpu.backends.int8_backend import patch_quantlinear_to_int8
+    from hqq_tpu.nn import QuantLinear
+
+    w = rng.standard_normal((128, 64)).astype(np.float32) / 8.0
+    b = rng.standard_normal((128,)).astype(np.float32) / 8.0
+    layer = QuantLinear.quantize(
+        jnp.asarray(w), jnp.asarray(b), nbits=8, group_size=64,
+        compute_dtype=jnp.float32,
+    )
+    i8 = patch_quantlinear_to_int8(layer)
+    assert i8.w8.dtype == jnp.int8
+    x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    y_ref = np.asarray(layer(x))
+    y_i8 = np.asarray(i8(x))
+    rel = np.abs(y_i8 - y_ref).mean() / (np.abs(y_ref).mean() + 1e-9)
+    assert rel < 0.02, f"int8 backend relative error too high: {rel}"
+
+
+def test_prepare_for_inference_int8(rng):
+    from hqq_tpu.backends.int8_backend import Int8QuantLinear
+    from hqq_tpu.nn import QuantLinear
+    from hqq_tpu.utils.patching import prepare_for_inference
+
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    tree = {"a": QuantLinear.quantize(jnp.asarray(w), None, nbits=4, group_size=32)}
+    out = prepare_for_inference(tree, backend="int8")
+    assert isinstance(out["a"], Int8QuantLinear)
