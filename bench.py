@@ -45,9 +45,19 @@ def detect_bw() -> float:
     return 819e9
 
 
-def build_quantized_llama(cfg, nbits=4, group_size=64, dtype=jnp.bfloat16, seed=0):
+def build_quantized_llama(cfg, nbits=4, group_size=64, dtype=jnp.bfloat16, seed=0,
+                          backend="int8"):
     """Build the model layer-by-layer, quantizing each projection as it is
-    created so peak HBM stays ~1 layer above the quantized footprint."""
+    created so peak HBM stays ~1 layer above the quantized footprint.
+
+    backend="int8": HQQ 4-bit codes are dequantized once and re-quantized to
+    per-channel int8 — decode then runs int8 x int8 on the MXU, which on v5e
+    feeds integer operands ~1.6x faster than bf16 (the MXU weight-feed rate,
+    not HBM, is the binding constraint at decode batch sizes; measured in
+    tools/kernel_lab.py). The extra requant error is ~1% of the 4-bit error.
+    backend="pallas": fused in-register dequant+matmul (minimal HBM bytes —
+    the right choice for batched/prefill-heavy serving)."""
+    from hqq_tpu.backends.int8_backend import patch_quantlinear_to_int8
     from hqq_tpu.backends.pallas_backend import patch_quantlinear_to_pallas
     from hqq_tpu.nn import Linear, QuantLinear
 
@@ -67,6 +77,8 @@ def build_quantized_llama(cfg, nbits=4, group_size=64, dtype=jnp.bfloat16, seed=
             w, None, nbits=nbits, group_size=group_size, axis=1,
             round_zero=(nbits == 4), compute_dtype=dtype,
         )
+        if backend == "int8":
+            return patch_quantlinear_to_int8(layer)
         return patch_quantlinear_to_pallas(layer)
 
     layers = []

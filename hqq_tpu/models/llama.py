@@ -254,17 +254,45 @@ def positions_and_masks(
     return positions, cos, sin, mask
 
 
+def _update_stacked_cache(
+    k_all: Array, v_all: Array, layer_idx: int, k: Array, v: Array, start_pos
+) -> Tuple[Array, Array]:
+    """Write new K/V [B, n_kv, t, hd] into the STACKED cache [L, B, n_kv, S, hd]
+    at layer `layer_idx`, sequence offset `start_pos` — pure
+    `dynamic_update_slice` on the scan-carried arrays, so XLA updates the
+    cache in place (slicing per layer + re-stacking would copy the whole
+    cache every decode step: ~1 GB/token on a 7B model at 1k context)."""
+    pos_arr = jnp.asarray(start_pos)
+    if pos_arr.ndim == 0:
+        k_all = jax.lax.dynamic_update_slice(k_all, k[None], (layer_idx, 0, 0, pos_arr, 0))
+        v_all = jax.lax.dynamic_update_slice(v_all, v[None], (layer_idx, 0, 0, pos_arr, 0))
+    else:
+        # Per-slot offsets (continuous batching): one in-place row update per
+        # batch slot — B is the engine's small slot count.
+        for bi in range(k.shape[0]):
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k[bi][None, None], (layer_idx, bi, 0, pos_arr[bi], 0)
+            )
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v[bi][None, None], (layer_idx, bi, 0, pos_arr[bi], 0)
+            )
+    return k_all, v_all
+
+
 def _attention(
     layer: dict,
     cfg: LlamaConfig,
     x: Array,
-    cache_k: Array,
-    cache_v: Array,
+    k_all: Array,
+    v_all: Array,
+    layer_idx: int,
     start_pos: int | Array,
     mask: Array,
     cos: Array,
     sin: Array,
 ) -> Tuple[Array, Array, Array]:
+    """Attention over the stacked cache; returns (out, k_all, v_all) with the
+    layer's new K/V written in place."""
     b, t, d = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
 
@@ -275,23 +303,12 @@ def _attention(
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
 
-    # Write new K/V into the static cache at [start_pos : start_pos+t)
-    # (per-row offsets via vmapped dynamic_update_slice for vector start_pos).
-    pos_arr = jnp.asarray(start_pos)
-    if pos_arr.ndim == 0:
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, 0, pos_arr, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, 0, pos_arr, 0))
-    else:
-        upd = jax.vmap(
-            lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0))
-        )
-        cache_k = upd(cache_k, k, pos_arr)
-        cache_v = upd(cache_v, v, pos_arr)
+    k_all, v_all = _update_stacked_cache(k_all, v_all, layer_idx, k, v, start_pos)
 
     # GQA: expand kv heads to query heads.
     rep = nh // nkv
-    keys = jnp.repeat(cache_k, rep, axis=1) if rep > 1 else cache_k
-    vals = jnp.repeat(cache_v, rep, axis=1) if rep > 1 else cache_v
+    keys = jnp.repeat(k_all[layer_idx], rep, axis=1) if rep > 1 else k_all[layer_idx]
+    vals = jnp.repeat(v_all[layer_idx], rep, axis=1) if rep > 1 else v_all[layer_idx]
 
     scores = jnp.einsum(
         "bhtd,bhsd->bhts", q, keys, preferred_element_type=jnp.float32
@@ -300,7 +317,7 @@ def _attention(
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhts,bhsd->bhtd", probs, vals)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
-    return layer["o_proj"](out), cache_k, cache_v
+    return layer["o_proj"](out), k_all, v_all
 
 
 def _mlp(layer: dict, x: Array) -> Array:
@@ -328,31 +345,27 @@ def forward(
         cfg, t, start_pos, None if cache is None else cache.max_len, kv_valid
     )
 
-    new_k, new_v = [], []
+    if cache is not None:
+        k_all, v_all = cache.k, cache.v
+    else:
+        # self-contained attention over the current window (single-"layer"
+        # scratch cache reused per block)
+        k_all = v_all = None
+
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
         if cache is None:
-            # self-contained attention over the current window
             ck = jnp.zeros(
-                (b, cfg.num_key_value_heads, t, cfg.head_dim_), x.dtype
+                (1, b, cfg.num_key_value_heads, t, cfg.head_dim_), x.dtype
             )
             attn_out, _, _ = _attention(
-                layer["self_attn"], cfg, h, ck, ck, 0, mask, cos, sin
+                layer["self_attn"], cfg, h, ck, ck, 0, 0, mask, cos, sin
             )
         else:
-            attn_out, ck, cv = _attention(
-                layer["self_attn"],
-                cfg,
-                h,
-                cache.k[i],
-                cache.v[i],
-                start_pos,
-                mask,
-                cos,
-                sin,
+            attn_out, k_all, v_all = _attention(
+                layer["self_attn"], cfg, h, k_all, v_all, i, start_pos,
+                mask, cos, sin,
             )
-            new_k.append(ck)
-            new_v.append(cv)
         x = x + attn_out
         h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + _mlp(layer["mlp"], h)
@@ -365,7 +378,5 @@ def forward(
     else:
         logits = params["lm_head"](x).astype(jnp.float32)
 
-    new_cache = (
-        KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v)) if cache is not None else None
-    )
+    new_cache = KVCache(k=k_all, v=v_all) if cache is not None else None
     return logits, new_cache

@@ -143,21 +143,20 @@ def forward(
         cfg, t, start_pos, None if cache is None else cache.max_len, kv_valid
     )
 
-    new_k, new_v = [], []
+    k_all = cache.k if cache is not None else None
+    v_all = cache.v if cache is not None else None
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
         if cache is None:
-            ck = jnp.zeros((b, cfg.num_key_value_heads, t, cfg.head_dim_), x.dtype)
+            ck = jnp.zeros((1, b, cfg.num_key_value_heads, t, cfg.head_dim_), x.dtype)
             attn_out, _, _ = llama._attention(
-                layer["self_attn"], cfg, h, ck, ck, 0, mask, cos, sin
+                layer["self_attn"], cfg, h, ck, ck, 0, 0, mask, cos, sin
             )
         else:
-            attn_out, ck, cv = llama._attention(
-                layer["self_attn"], cfg, h, cache.k[i], cache.v[i],
+            attn_out, k_all, v_all = llama._attention(
+                layer["self_attn"], cfg, h, k_all, v_all, i,
                 start_pos, mask, cos, sin,
             )
-            new_k.append(ck)
-            new_v.append(cv)
         x = x + attn_out
         h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + _moe_block(layer["block_sparse_moe"], cfg, h)
@@ -170,9 +169,7 @@ def forward(
     else:
         logits = params["lm_head"](x).astype(jnp.float32)
 
-    new_cache = (
-        KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v)) if cache is not None else None
-    )
+    new_cache = KVCache(k=k_all, v=v_all) if cache is not None else None
     return logits, new_cache
 
 

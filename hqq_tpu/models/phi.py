@@ -170,13 +170,16 @@ def _attention(
     layer: dict,
     cfg: PhiConfig,
     x: Array,
-    cache_k: Array,
-    cache_v: Array,
+    k_all: Array,
+    v_all: Array,
+    layer_idx: int,
     start_pos,
     mask: Array,
     cos: Array,
     sin: Array,
 ) -> Tuple[Array, Array, Array]:
+    from .llama import _update_stacked_cache
+
     b, t, d = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
 
@@ -187,20 +190,11 @@ def _attention(
     q = _apply_partial_rope(q, cos, sin, cfg.rotary_dim)
     k = _apply_partial_rope(k, cos, sin, cfg.rotary_dim)
 
-    pos_arr = jnp.asarray(start_pos)
-    if pos_arr.ndim == 0:
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, 0, pos_arr, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, 0, pos_arr, 0))
-    else:
-        upd = jax.vmap(
-            lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0))
-        )
-        cache_k = upd(cache_k, k, pos_arr)
-        cache_v = upd(cache_v, v, pos_arr)
+    k_all, v_all = _update_stacked_cache(k_all, v_all, layer_idx, k, v, start_pos)
 
     rep = nh // nkv
-    keys = jnp.repeat(cache_k, rep, axis=1) if rep > 1 else cache_k
-    vals = jnp.repeat(cache_v, rep, axis=1) if rep > 1 else cache_v
+    keys = jnp.repeat(k_all[layer_idx], rep, axis=1) if rep > 1 else k_all[layer_idx]
+    vals = jnp.repeat(v_all[layer_idx], rep, axis=1) if rep > 1 else v_all[layer_idx]
 
     # Phi computes attention in fp32 (HF PhiAttention upcasts q/k).
     scores = jnp.einsum(
@@ -209,7 +203,7 @@ def _attention(
     probs = jax.nn.softmax((scores + mask).astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhts,bhsd->bhtd", probs, vals)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
-    return layer["dense"](out), cache_k, cache_v
+    return layer["dense"](out), k_all, v_all
 
 
 def _mlp(layer: dict, x: Array) -> Array:
@@ -242,30 +236,27 @@ def forward(
         cfg, t, start_pos, None if cache is None else cache.max_len, kv_valid
     )
 
-    new_k, new_v = [], []
+    k_all = cache.k if cache is not None else None
+    v_all = cache.v if cache is not None else None
     for i, layer in enumerate(params["layers"]):
         h = layer_norm(x, layer["input_layernorm"], cfg.layer_norm_eps)
         if cache is None:
-            ck = jnp.zeros((b, cfg.num_key_value_heads, t, cfg.head_dim_), x.dtype)
+            ck = jnp.zeros((1, b, cfg.num_key_value_heads, t, cfg.head_dim_), x.dtype)
             attn_out, _, _ = _attention(
-                layer["self_attn"], cfg, h, ck, ck, 0, mask, cos, sin
+                layer["self_attn"], cfg, h, ck, ck, 0, 0, mask, cos, sin
             )
         else:
-            attn_out, ck, cv = _attention(
-                layer["self_attn"], cfg, h, cache.k[i], cache.v[i],
+            attn_out, k_all, v_all = _attention(
+                layer["self_attn"], cfg, h, k_all, v_all, i,
                 start_pos, mask, cos, sin,
             )
-            new_k.append(ck)
-            new_v.append(cv)
         # Parallel residual: both branches read the SAME normed input.
         x = x + attn_out + _mlp(layer["mlp"], h)
 
     x = layer_norm(x, params["final_layernorm"], cfg.layer_norm_eps)
     logits = params["lm_head"](x).astype(jnp.float32)
 
-    new_cache = (
-        KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v)) if cache is not None else None
-    )
+    new_cache = KVCache(k=k_all, v=v_all) if cache is not None else None
     return logits, new_cache
 
 

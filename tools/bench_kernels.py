@@ -1,0 +1,102 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Per-kernel microbenchmarks vs HBM speed-of-light.
+
+Scans over L STACKED weights (so each iteration streams a fresh weight from
+HBM, like a real model's layer loop — a single weight would stay resident in
+VMEM and measure compute, not bandwidth). Run on the real chip:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_kernels.py
+"""
+
+import sys
+import os
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hqq_tpu.core.quantize import quantize
+from hqq_tpu.ops.fused_matmul import to_kernel_layout, quant_matmul_pallas
+from hqq_tpu.nn.linear import dequant_matmul
+
+HBM_BW = 819e9  # v5e
+
+
+def time_scan(step, stacked, x0, iters=6, n1=2, n2=10):
+    """Per-matmul time of scanning `step` over the leading axis of `stacked`.
+
+    Differential timing: the whole L-layer sweep is repeated n times inside
+    one device call, timed at n=n1 and n=n2; the slope removes the (large)
+    axon host-fetch / dispatch constant. Weights are streamed from HBM each
+    sweep (the stack is far larger than VMEM)."""
+    L = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+
+    def sweep(x, ws):
+        return jax.lax.scan(lambda c, w: (step(w, c), None), x, ws)[0]
+
+    @jax.jit
+    def run(ws, x, n):
+        return jax.lax.fori_loop(0, n, lambda i, c: sweep(c, ws), x)
+
+    def best_time(n):
+        np.asarray(run(stacked, x0, n))  # warm (host fetch: axon block_until_ready unreliable)
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            np.asarray(run(stacked, x0, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (best_time(n2) - best_time(n1)) / ((n2 - n1) * L)
+
+
+def main():
+    print(jax.devices())
+    M, K, N, L = 8, 4096, 4096, 48
+    rng = np.random.default_rng(0)
+    w_np = rng.standard_normal((N, K), dtype=np.float32) / 20
+    x0 = jnp.asarray(rng.standard_normal((M, K), dtype=np.float32) / 10, jnp.bfloat16)
+
+    # ---- dense bf16 reference ----
+    wb = jnp.stack([jnp.asarray(w_np + i * 1e-6).astype(jnp.bfloat16).T for i in range(L)])
+
+    def dense_step(w, x):
+        y = x @ w
+        return (x + y[:, :K] * 1e-6).astype(x.dtype)
+
+    t = time_scan(dense_step, wb, x0)
+    bytes_dense = K * N * 2
+    print(f"dense bf16 [{M}x{K}]@[{K}x{N}]: {t*1e6:.1f} us, roofline {bytes_dense/HBM_BW*1e6:.1f} us, eff {bytes_dense/HBM_BW/t*100:.0f}%")
+
+    for nbits, g in ((8, 64), (4, 64), (4, 128), (2, 64)):
+        qt = quantize(jnp.asarray(w_np), nbits=nbits, group_size=g, axis=1,
+                      round_zero=(nbits == 4), compute_dtype=jnp.bfloat16)
+        kqt = to_kernel_layout(qt)
+        stacked = jax.tree_util.tree_map(
+            lambda a: jnp.stack([a] * L), kqt,
+        )
+
+        def qmm_step(w, x):
+            y = quant_matmul_pallas(x, w)
+            return (x + y[:, :K] * 1e-6).astype(x.dtype)
+
+        t = time_scan(qmm_step, stacked, x0)
+        bytes_q = kqt.wq.size + kqt.scale.size * 4 + kqt.zs.size * 4
+        print(f"pallas {nbits}b g{g}: {t*1e6:.1f} us, roofline {bytes_q/HBM_BW*1e6:.1f} us, "
+              f"eff {bytes_q/HBM_BW/t*100:.0f}%, speedup-vs-bf16-roofline {bytes_dense/HBM_BW/t:.2f}x")
+
+        stacked_qt = jax.tree_util.tree_map(lambda a: jnp.stack([a] * L), qt)
+
+        def xla_step(w, x):
+            y = dequant_matmul(x, w)
+            return (x + y[:, :K] * 1e-6).astype(x.dtype)
+
+        t = time_scan(xla_step, stacked_qt, x0)
+        print(f"  xla {nbits}b g{g}: {t*1e6:.1f} us, eff {bytes_q/HBM_BW/t*100:.0f}%")
+
+
+if __name__ == "__main__":
+    main()
