@@ -30,6 +30,7 @@ from .quantize import QTensor, dequantize, quantize
 __all__ = [
     "LoRALinear",
     "FakeQuantLoRALinear",
+    "GroupedProjLinear",
     "PeftUtils",
     "TrainableParams",
     "lora_config",
@@ -208,11 +209,65 @@ class FakeQuantLoRALinear:
         return out.astype(x.dtype)
 
 
+@struct.dataclass
+class GroupedProjLinear:
+    """Learnable per-group projection matrices applied to the dequantized
+    weight (≙ experimental `HQQLinearGroupedProj`, ref `core/peft.py:272-362`):
+
+        W' = reshape( proj @ W.reshape(proj_num, proj_size, -1) )
+        out = x @ W'^T + bias
+
+    `proj` [proj_num, proj_size, proj_size] is identity-initialized and
+    trainable; the quantized base stays frozen.
+    """
+
+    base: Any  # QuantLinear (frozen)
+    proj: Array  # [proj_num, proj_size, proj_size]
+    bias: Optional[Array] = None
+
+    @classmethod
+    def wrap(cls, layer: Any, proj_size: int = 8, train_dtype=jnp.float32):
+        out_f = layer.out_features
+        assert out_f % proj_size == 0, "proj_size must divide out_features"
+        proj_num = out_f // proj_size
+        proj = jnp.broadcast_to(
+            jnp.eye(proj_size, dtype=train_dtype), (proj_num, proj_size, proj_size)
+        )
+        bias = getattr(layer, "bias", None)
+        base = dataclasses.replace(layer, bias=None) if bias is not None else layer
+        return cls(base=base, proj=jnp.array(proj), bias=bias)
+
+    @property
+    def in_features(self) -> int:
+        return self.base.in_features
+
+    @property
+    def out_features(self) -> int:
+        return self.base.out_features
+
+    def projected_weight(self, dtype=jnp.float32) -> Array:
+        w = (
+            self.base.dequantize(jnp.float32)
+            if hasattr(self.base, "dequantize")
+            else self.base.weight.astype(jnp.float32)
+        )
+        pn, ps = self.proj.shape[0], self.proj.shape[1]
+        w = jnp.matmul(self.proj.astype(jnp.float32), w.reshape(pn, ps, -1))
+        return w.reshape(self.out_features, self.in_features).astype(dtype)
+
+    def __call__(self, x: Array) -> Array:
+        w = self.projected_weight(jnp.float32)
+        out = x.astype(jnp.float32) @ w.T
+        if self.bias is not None:
+            out = out + self.bias.astype(out.dtype)
+        return out.astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Trainable-parameter partition (JAX idiom for requires_grad)
 # ---------------------------------------------------------------------------
 
-LORA_LEAF_NAMES = ("lora_a", "lora_b")
+LORA_LEAF_NAMES = ("lora_a", "lora_b", "proj")
 
 
 class TrainableParams:

@@ -158,3 +158,39 @@ def test_cast_lora(lora_model):
     cfg, lparams = lora_model
     cast = PeftUtils.cast_lora_weights(lparams, jnp.bfloat16)
     assert cast["layers"][0]["self_attn"]["q_proj"].lora_a.dtype == jnp.bfloat16
+
+
+def test_grouped_proj_linear(rng):
+    """GroupedProjLinear: identity init == base layer; training the proj
+    reduces reconstruction error (≙ ref HQQLinearGroupedProj)."""
+    import jax
+    import jax.numpy as jnp
+    from hqq_tpu.core.peft import GroupedProjLinear
+    from hqq_tpu.nn import QuantLinear
+
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    base = QuantLinear.quantize(jnp.asarray(w), None, nbits=2, group_size=32,
+                                compute_dtype=jnp.float32)
+    gp = GroupedProjLinear.wrap(base, proj_size=8)
+    x = jnp.asarray(rng.standard_normal((4, 32)).astype(np.float32))
+
+    # identity proj == base forward
+    np.testing.assert_allclose(
+        np.asarray(gp(x)), np.asarray(base(x)), rtol=1e-5, atol=1e-5
+    )
+
+    # a few gradient steps on proj shrink ||W_fp - W'||
+    target = jnp.asarray(w)
+
+    def loss_fn(proj):
+        import dataclasses as dc
+        w_p = dc.replace(gp, proj=proj).projected_weight(jnp.float32)
+        return jnp.mean((w_p - target) ** 2)
+
+    proj = gp.proj
+    l0 = float(loss_fn(proj))
+    g = jax.jit(jax.grad(loss_fn))
+    for _ in range(100):
+        proj = proj - 2.0 * g(proj)
+    l1 = float(loss_fn(proj))
+    assert l1 < l0 * 0.9, f"proj training did not improve: {l0} -> {l1}"
