@@ -27,7 +27,14 @@ from ..core.quantize import BIT_TO_PACKING, QTensor
 from ..nn.linear import Linear, QuantLinear
 from .llama import LlamaConfig
 
-__all__ = ["import_reference_quantized", "qtensor_from_reference_state"]
+__all__ = [
+    "import_reference_quantized",
+    "qtensor_from_reference_state",
+    "pack_rows",
+    "unpack_rows",
+    "export_gptq",
+    "import_gptq",
+]
 
 
 def _dec_str(t) -> str:
@@ -145,3 +152,107 @@ def import_reference_quantized(
     if "lm_head" in weights:
         params["lm_head"] = get_linear("lm_head")
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# GPTQ-layout interop (the reference's second packing, used by its vLLM path:
+# `/root/reference/hqq/utils/vllm.py:53-99` pack-over-rows int32 words)
+# ---------------------------------------------------------------------------
+
+
+def pack_rows(codes: np.ndarray, nbits: int) -> np.ndarray:
+    """Pack integer codes [K, N] over rows into int32 words [K/e, N] with
+    e = 32 // nbits; element j of a word sits at bits [j*nbits, (j+1)*nbits)
+    (GPTQ convention, ≙ `utils/vllm.py:80-99`)."""
+    assert 32 % nbits == 0, "GPTQ packing needs nbits dividing 32"
+    e = 32 // nbits
+    k, n = codes.shape
+    assert k % e == 0, f"K={k} not divisible by {e}"
+    c = codes.astype(np.uint32).reshape(k // e, e, n)
+    out = np.zeros((k // e, n), np.uint32)
+    for j in range(e):
+        out |= c[:, j, :] << (j * nbits)
+    return out.view(np.int32)
+
+
+def unpack_rows(packed: np.ndarray, nbits: int, k: int, n: int) -> np.ndarray:
+    """Inverse of `pack_rows` (≙ `utils/vllm.py:53-69`)."""
+    e = 32 // nbits
+    mask = (1 << nbits) - 1
+    p = packed.view(np.uint32)
+    out = np.empty((p.shape[0], e, n), np.uint8)
+    for j in range(e):
+        out[:, j, :] = (p >> (j * nbits)) & mask
+    return out.reshape(k, n)
+
+
+def export_gptq(qt: QTensor) -> Dict[str, np.ndarray]:
+    """Export an axis=1 QTensor to GPTQ tensor conventions
+    (qweight int32 [K/e, N], qzeros int32 [K/g, N/e], scales [K/g, N]):
+    loadable by vLLM/AutoGPTQ-style consumers. Requires integral zeros —
+    quantize with round_zero=True, optimize=False (the proximal solver moves
+    zeros off-integer; the reference's vLLM path ships float zeros as extra
+    params for exactly this reason, `utils/vllm.py:184-377`). Dequant
+    convention matches: w = (q - z) * scale."""
+    from ..core.quantize import resolve_meta, unpack_codes
+
+    qt = resolve_meta(qt)
+    assert qt.axis == 1 and qt.group_size is not None, "GPTQ export needs axis=1 groups"
+    n_out, k = qt.shape  # torch convention [out, in]
+    g = qt.group_size
+    nbits = int(qt.nbits)
+    assert float(qt.nbits).is_integer() and 32 % nbits == 0
+
+    codes = np.asarray(unpack_codes(qt, jnp.int32)).reshape(n_out, k).T  # [K, N]
+    scales = np.asarray(qt.scale, np.float32).reshape(n_out, k // g).T  # [K/g, N]
+    zeros = np.asarray(qt.zero, np.float32).reshape(n_out, k // g).T
+    zint = np.round(zeros)
+    assert np.abs(zeros - zint).max() < 1e-4, (
+        "GPTQ export requires integral zero-points (use round_zero=True)"
+    )
+    return {
+        "qweight": pack_rows(codes, nbits),
+        # qzeros pack along N: int32 [K/g, N/e]
+        "qzeros": pack_rows(zint.T.astype(np.int64), nbits).T.copy(),
+        "scales": scales.astype(np.float16),
+        "g_idx": np.arange(k, dtype=np.int32) // g,
+    }
+
+
+def import_gptq(
+    tensors: Dict[str, np.ndarray],
+    nbits: int,
+    group_size: int,
+    compute_dtype=jnp.bfloat16,
+) -> QTensor:
+    """Build a QTensor from GPTQ-convention tensors (inverse of export_gptq,
+    modern no-offset qzeros convention)."""
+    from ..core import bitpack
+
+    qweight = np.asarray(tensors["qweight"])
+    scales = np.asarray(tensors["scales"], np.float32)  # [K/g, N]
+    e = 32 // nbits
+    k = qweight.shape[0] * e
+    n = qweight.shape[1]
+    codes_kn = unpack_rows(qweight, nbits, k, n)  # [K, N]
+    zeros_kn = unpack_rows(
+        np.ascontiguousarray(np.asarray(tensors["qzeros"]).T), nbits, n, k // group_size
+    ).T  # [K/g, N]
+
+    codes = codes_kn.T.reshape(-1, group_size)  # group space [N*K/g, g]
+    scale = scales.T.reshape(-1, 1)
+    zero = zeros_kn.T.reshape(-1, 1).astype(np.float32)
+
+    packing = BIT_TO_PACKING[nbits]
+    wq = bitpack.pack(jnp.asarray(codes, jnp.int32), packing)
+    return QTensor(
+        wq=wq,
+        scale=jnp.asarray(scale),
+        zero=jnp.asarray(zero),
+        nbits=nbits,
+        group_size=group_size,
+        axis=1,
+        shape=(n, k),
+        packing=packing,
+        compute_dtype=compute_dtype,
+    )

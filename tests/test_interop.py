@@ -57,3 +57,37 @@ def test_import_reference_checkpoint(tmp_path):
     np.testing.assert_allclose(
         np.asarray(ours), ref_logits, rtol=5e-3, atol=5e-3
     )
+
+
+def test_gptq_pack_rows_roundtrip(rng):
+    from hqq_tpu.models.interop import pack_rows, unpack_rows
+
+    for nbits in (8, 4, 2):
+        k, n = 64, 32
+        codes = rng.integers(0, 2**nbits, (k, n)).astype(np.int64)
+        packed = pack_rows(codes, nbits)
+        assert packed.dtype == np.int32
+        assert packed.shape == (k * nbits // 32, n)
+        out = unpack_rows(packed, nbits, k, n)
+        np.testing.assert_array_equal(out, codes.astype(np.uint8))
+
+
+def test_gptq_export_import_roundtrip(rng):
+    import jax.numpy as jnp
+    from hqq_tpu.core.quantize import dequantize, quantize
+    from hqq_tpu.models.interop import export_gptq, import_gptq
+
+    w = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+    # integral zeros required for true-GPTQ qzeros: round_zero + no solver
+    qt = quantize(w, nbits=4, group_size=32, axis=1, round_zero=True, optimize=False)
+    t = export_gptq(qt)
+    assert t["qweight"].shape == (128 // 8, 64)
+    assert t["scales"].shape == (128 // 32, 64)
+
+    qt2 = import_gptq(t, nbits=4, group_size=32)
+    # same codes, same dequantized weights (scales roundtrip via fp16)
+    np.testing.assert_allclose(
+        np.asarray(dequantize(qt2, jnp.float32)),
+        np.asarray(dequantize(qt, jnp.float32)),
+        rtol=2e-3, atol=2e-3,
+    )
