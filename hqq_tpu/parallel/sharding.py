@@ -48,6 +48,10 @@ COL_TAGS = (
 ROW_TAGS = ("self_attn.o_proj", "mlp.down_proj")
 
 
+def np_ndim_of(x) -> int:
+    return len(x.shape)
+
+
 def _linear_specs(path: str, layer: Any) -> dict:
     """PartitionSpecs for one linear leaf, keyed like its pytree fields."""
     from ..models.base import name_to_linear_tag
@@ -125,6 +129,26 @@ def tree_shardings(params: Any, mesh: Mesh) -> Any:
                 bias=None
                 if node.bias is None
                 else NamedSharding(mesh, specs["bias"]),
+            )
+        if type(node).__name__ == "GroupedLinear":
+            # Expert parallelism: stacked expert weights [E, ...] shard their
+            # leading (expert) axis over "model" — each device computes its
+            # local experts, GSPMD psums the combine einsum. The reference has
+            # NO expert parallelism anywhere (SURVEY §2.9); this is TPU-native
+            # EP for free from the GShard-style dense dispatch.
+            return node.replace(
+                weight=NamedSharding(mesh, P("model", None, None)),
+                bias=None
+                if node.bias is None
+                else NamedSharding(mesh, P("model", None)),
+            )
+        if type(node).__name__ == "GroupedQuantLinear":
+            ep = P(*(["model"] + [None] * (np_ndim_of(node.wq) - 1)))
+            meta = P(*(["model"] + [None] * (np_ndim_of(node.scale) - 1)))
+            return node.replace(
+                wq=NamedSharding(mesh, ep),
+                scale=NamedSharding(mesh, meta),
+                zero=NamedSharding(mesh, meta),
             )
         if isinstance(node, dict):
             return {

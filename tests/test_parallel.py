@@ -98,3 +98,42 @@ def test_gspmd_shard_params(model):
     # check a weight is actually sharded
     w = sharded["layers"][0]["self_attn"]["q_proj"].qweight.scale
     assert len(w.sharding.device_set) == 8
+
+
+def test_mixtral_expert_parallel_sharding():
+    """EP: stacked expert weights shard their E axis over 'model'; sharded
+    forward == unsharded forward (GSPMD inserts the collectives)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.models import mixtral
+    from hqq_tpu.parallel import make_mesh, shard_params
+
+    cfg = mixtral.MixtralConfig.tiny()
+    assert cfg.num_local_experts == 4
+    params = mixtral.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qparams = mixtral.quantize_mixtral(
+        params,
+        attn_config=BaseQuantizeConfig(nbits=4, group_size=32),
+        expert_config=BaseQuantizeConfig(nbits=4, group_size=32),
+        compute_dtype=jnp.float32,
+    )
+
+    tokens = jnp.asarray([[1, 5, 9, 12, 3, 7, 2, 8]], jnp.int32)
+    ref_logits, _ = mixtral.forward(qparams, cfg, tokens)
+
+    mesh = make_mesh(data=1, model=4)  # 4 experts over 4-way model axis
+    sharded = shard_params(qparams, mesh)
+
+    # verify the expert leaves actually got an expert-axis sharding
+    gl = sharded["layers"][0]["block_sparse_moe"]["experts"]["w1"]
+    spec = gl.wq.sharding.spec
+    assert spec[0] == "model", spec
+
+    with mesh:
+        logits, _ = jax.jit(lambda p, t: mixtral.forward(p, cfg, t))(sharded, tokens)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-3, atol=2e-3
+    )
