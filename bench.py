@@ -123,6 +123,9 @@ def main():
 
     t0 = time.time()
     params = build_quantized_llama(cfg, nbits=4, group_size=64)
+    from hqq_tpu.utils.patching import fuse_for_decode
+
+    params = fuse_for_decode(params)  # one wide qkv / gate_up matmul per block
     jax.block_until_ready(params["norm"])
     print(f"# built+quantized model in {time.time()-t0:.1f}s", file=sys.stderr)
 

@@ -426,6 +426,60 @@ class PeftUtils:
         return visit(params)
 
     @staticmethod
+    def load_hf_adapter(params: Any, adapter_dir: str) -> Any:
+        """Load a HuggingFace-PEFT LoRA adapter directory
+        (`adapter_config.json` + `adapter_model.safetensors`) onto a quantized
+        param tree (≙ `load_peft_adapter`, ref `utils/patching.py:261-288`).
+
+        HF keys look like
+        ``base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight``
+        with lora_A [r, in] / lora_B [out, r]; our LoRALinear stores
+        lora_a [in, r] / lora_b [r, out] (transposed)."""
+        import json as _json
+        import os as _os
+
+        from safetensors.numpy import load_file
+
+        from ..models.base import patch_linears
+
+        with open(_os.path.join(adapter_dir, "adapter_config.json")) as f:
+            acfg = _json.load(f)
+        r = int(acfg["r"])
+        alpha = float(acfg.get("lora_alpha", r))
+        tensors = load_file(_os.path.join(adapter_dir, "adapter_model.safetensors"))
+
+        # index adapter pairs by the normalized module path suffix
+        pairs: dict = {}
+        for key, val in tensors.items():
+            base, leaf = key.rsplit(".", 2)[0], key.rsplit(".", 2)[1]
+            norm = base
+            for prefix in ("base_model.model.model.", "base_model.model.", "model."):
+                if norm.startswith(prefix):
+                    norm = norm[len(prefix):]
+                    break
+            pairs.setdefault(norm, {})[leaf] = val
+
+        def wrap(path, layer):
+            if path in pairs or path.lstrip(".") in pairs:
+                t = pairs.get(path, pairs.get(path.lstrip(".")))
+                if "lora_A" not in t or "lora_B" not in t:
+                    return layer
+                lora_a = jnp.asarray(t["lora_A"]).T  # [in, r]
+                lora_b = jnp.asarray(t["lora_B"]).T  # [r, out]
+                base = layer.base if isinstance(layer, LoRALinear) else layer
+                return LoRALinear(
+                    base=base,
+                    lora_a=lora_a,
+                    lora_b=lora_b,
+                    bias=None,
+                    scaling=alpha / r,
+                    dropout=0.0,
+                )
+            return layer
+
+        return patch_linears(params, wrap)
+
+    @staticmethod
     def cast_lora_weights(params: Any, dtype) -> Any:
         """≙ ref `core/peft.py:529-543`."""
 

@@ -296,9 +296,16 @@ def _attention(
     b, t, d = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
 
-    q = layer["q_proj"](x).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
-    k = layer["k_proj"](x).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
-    v = layer["v_proj"](x).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    if "qkv_proj" in layer:
+        # decode-fused projection (one wide matmul; see utils/patching.fuse
+        # — int8 MXU efficiency grows with N)
+        qkv = layer["qkv_proj"](x)
+        q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
+    else:
+        q, k, v = layer["q_proj"](x), layer["k_proj"](x), layer["v_proj"](x)
+    q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
 
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
@@ -321,6 +328,10 @@ def _attention(
 
 
 def _mlp(layer: dict, x: Array) -> Array:
+    if "gate_up_proj" in layer:
+        gu = layer["gate_up_proj"](x)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        return layer["down_proj"](jax.nn.silu(gate) * up)
     return layer["down_proj"](jax.nn.silu(layer["gate_proj"](x)) * layer["up_proj"](x))
 
 

@@ -106,7 +106,11 @@ def tree_to_state(tree: Any, prefix: str = "") -> Tuple[Dict[str, Any], Any]:
             flat[f"{path}.sw"] = node.sw
             return {
                 "type": "Int8QuantLinear",
-                "meta": {"compute_dtype": _dtype_name(node.compute_dtype)},
+                "meta": {
+                    "compute_dtype": _dtype_name(node.compute_dtype),
+                    "logical_out": node.logical_out,
+                    "logical_in": node.logical_in,
+                },
                 "children": {"bias": rec(node.bias, f"{path}.bias")},
             }
         if type(node).__name__ == "LoRALinear":
@@ -241,6 +245,8 @@ def state_to_tree(
                 sw=get(f"{path}.sw"),
                 bias=rec(node["children"]["bias"], f"{path}.bias"),
                 compute_dtype=_DTYPE_NAMES[node["meta"]["compute_dtype"]],
+                logical_out=node["meta"].get("logical_out"),
+                logical_in=node["meta"].get("logical_in"),
             )
         if t == "LoRALinear":
             from ..core.peft import LoRALinear

@@ -30,7 +30,7 @@ from ..backends.pallas_backend import PallasQuantLinear, patch_quantlinear_to_pa
 from ..core.peft import LoRALinear
 from ..nn.linear import QuantLinear
 
-__all__ = ["prepare_for_inference", "merge_zeros_into_lora", "lowrank_approx"]
+__all__ = ["prepare_for_inference", "merge_zeros_into_lora", "lowrank_approx", "fuse_for_decode"]
 
 BACKENDS = ("xla", "pallas", "int8")
 
@@ -61,6 +61,93 @@ def prepare_for_inference(params: Any, backend: str = "pallas", verbose: bool = 
     out = convert(params)
     if verbose:
         print(f"prepare_for_inference[{backend}]: {stats}")
+    return out
+
+
+def _concat_linears(layers):
+    """Concatenate linear-like layers along the output dimension.
+
+    Supports Int8QuantLinear (w8/sw rows concat) and plain Linear; returns
+    None if the group is heterogeneous or unsupported."""
+    from ..backends.int8_backend import Int8QuantLinear
+    from ..nn.linear import Linear
+
+    if all(isinstance(l, Int8QuantLinear) for l in layers):
+        biases = [l.bias for l in layers]
+        has_bias = any(b is not None for b in biases)
+        if has_bias:
+            bias = jnp.concatenate(
+                [b if b is not None else jnp.zeros((l.out_features,), l.compute_dtype)
+                 for l, b in zip(layers, biases)]
+            )
+        else:
+            bias = None
+        return Int8QuantLinear(
+            w8=jnp.concatenate([l.w8 for l in layers], axis=0),
+            sw=jnp.concatenate([l.sw for l in layers], axis=0),
+            bias=bias,
+            compute_dtype=layers[0].compute_dtype,
+        )
+    if all(isinstance(l, Linear) for l in layers):
+        biases = [l.bias for l in layers]
+        has_bias = any(b is not None for b in biases)
+        bias = (
+            jnp.concatenate(
+                [b if b is not None else jnp.zeros((l.out_features,), l.weight.dtype)
+                 for l, b in zip(layers, biases)]
+            )
+            if has_bias
+            else None
+        )
+        return Linear(
+            weight=jnp.concatenate([l.weight for l in layers], axis=0), bias=bias
+        )
+    return None
+
+
+def fuse_for_decode(params: Any, pad_to: int = 512) -> Any:
+    """Fuse per-layer q/k/v into one `qkv_proj` and gate/up into one
+    `gate_up_proj` (Llama-family trees). One wide matmul feeds the MXU far
+    better than three narrow ones at decode batch sizes (measured: int8 dot
+    at N=12288 runs ~1.75x the bytes/s of N=4096). Run AFTER
+    `prepare_for_inference(backend="int8")`. ≙ the reference's merged-QKV
+    Phi variant (`models/hf/phi_opt.py:8-57`) as a general transformation."""
+
+    def fuse_layer(layer: dict) -> dict:
+        out = dict(layer)
+        sa = layer.get("self_attn")
+        if isinstance(sa, dict) and all(k in sa for k in ("q_proj", "k_proj", "v_proj")):
+            fused = _concat_linears([sa["q_proj"], sa["k_proj"], sa["v_proj"]])
+            if fused is not None:
+                sa = {k: v for k, v in sa.items() if k not in ("q_proj", "k_proj", "v_proj")}
+                sa["qkv_proj"] = fused
+            out["self_attn"] = sa
+        mlp = layer.get("mlp")
+        if isinstance(mlp, dict) and all(k in mlp for k in ("gate_proj", "up_proj")):
+            fused = _concat_linears([mlp["gate_proj"], mlp["up_proj"]])
+            if fused is not None:
+                mlp = {k: v for k, v in mlp.items() if k not in ("gate_proj", "up_proj")}
+                mlp["gate_up_proj"] = fused
+            out["mlp"] = mlp
+        return out
+
+    out = dict(params)
+    if "layers" in out:
+        out["layers"] = [fuse_layer(l) for l in out["layers"]]
+
+    if pad_to:
+        from ..backends.int8_backend import Int8QuantLinear, pad_for_mxu
+
+        def pad(node):
+            if isinstance(node, dict):
+                return {k: pad(v) for k, v in node.items()}
+            if isinstance(node, list):
+                return [pad(v) for v in node]
+            if isinstance(node, Int8QuantLinear):
+                return pad_for_mxu(node, pad_to)
+            return node
+
+        out = pad(out)
     return out
 
 

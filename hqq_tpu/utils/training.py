@@ -26,6 +26,31 @@ from ..models import llama
 __all__ = ["causal_lm_loss", "make_lora_train_step"]
 
 
+def save_train_state(save_dir: str, train_vals, opt_state, step: int = 0) -> None:
+    """Checkpoint trainable leaves + optimizer state (resume support the
+    reference delegates to HF Trainer; here it is native, same sharded
+    safetensors format as model checkpoints)."""
+    from ..models.serialize import save_checkpoint
+
+    flat_opt, opt_tree = jax.tree_util.tree_flatten(opt_state)
+    save_checkpoint(
+        save_dir,
+        {"train_vals": list(train_vals), "opt_flat": flat_opt},
+        config={"step": step, "opt_treedef": str(opt_tree)},
+    )
+
+
+def load_train_state(save_dir: str, opt_state_like):
+    """Restore (train_vals, opt_state, step); `opt_state_like` provides the
+    optimizer-state treedef (e.g. a freshly initialized state)."""
+    from ..models.serialize import load_checkpoint
+
+    tree, config = load_checkpoint(save_dir)
+    _, opt_tree = jax.tree_util.tree_flatten(opt_state_like)
+    opt_state = jax.tree_util.tree_unflatten(opt_tree, tree["opt_flat"])
+    return tree["train_vals"], opt_state, int(config.get("step", 0))
+
+
 def causal_lm_loss(
     params: Any,
     cfg: llama.LlamaConfig,

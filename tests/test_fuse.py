@@ -1,0 +1,62 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Decode-fusion tests: fused qkv/gate_up forward == unfused; MXU padding
+is transparent."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hqq_tpu.core.quantize import BaseQuantizeConfig
+from hqq_tpu.models import LlamaConfig, forward, init_cache, init_params, quantize_model
+from hqq_tpu.utils.patching import fuse_for_decode, prepare_for_inference
+
+
+def test_fused_decode_matches_unfused():
+    cfg = LlamaConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+    i8 = prepare_for_inference(q, backend="int8")
+    fused = fuse_for_decode(i8, pad_to=512)
+
+    sa = fused["layers"][0]["self_attn"]
+    assert "qkv_proj" in sa and "q_proj" not in sa
+    mlp = fused["layers"][0]["mlp"]
+    assert "gate_up_proj" in mlp and "gate_proj" not in mlp
+    # tiny dims got padded; logical dims preserved
+    assert sa["qkv_proj"].w8.shape[0] % 512 == 0
+    assert sa["qkv_proj"].out_features == (
+        cfg.num_attention_heads + 2 * cfg.num_key_value_heads) * cfg.head_dim_
+
+    tok = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
+    c1 = init_cache(cfg, 1, 16, jnp.float32)
+    c2 = init_cache(cfg, 1, 16, jnp.float32)
+    l1, c1 = forward(i8, cfg, tok, c1, 0)
+    l2, c2 = forward(fused, cfg, tok, c2, 0)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-4)
+
+    # and one decode step through the updated caches
+    nxt = jnp.asarray([[7]], jnp.int32)
+    d1, _ = forward(i8, cfg, nxt, c1, 4)
+    d2, _ = forward(fused, cfg, nxt, c2, 4)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_serialization_roundtrip(tmp_path):
+    from hqq_tpu.models.serialize import load_checkpoint, save_checkpoint
+
+    cfg = LlamaConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+    fused = fuse_for_decode(prepare_for_inference(q, backend="int8"), pad_to=512)
+
+    save_checkpoint(str(tmp_path / "ck"), fused)
+    loaded, _ = load_checkpoint(str(tmp_path / "ck"))
+
+    tok = jnp.asarray([[3, 1, 4]], jnp.int32)
+    c1 = init_cache(cfg, 1, 8, jnp.float32)
+    c2 = init_cache(cfg, 1, 8, jnp.float32)
+    l1, _ = forward(fused, cfg, tok, c1, 0)
+    l2, _ = forward(loaded, cfg, tok, c2, 0)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
