@@ -279,6 +279,47 @@ def _update_stacked_cache(
     return k_all, v_all
 
 
+def _attention_nocache(
+    layer: dict,
+    cfg: LlamaConfig,
+    x: Array,
+    mask: Optional[Array],
+    cos: Array,
+    sin: Array,
+) -> Array:
+    """Full-sequence attention (training / PPL eval): flash kernel on TPU for
+    long pure-causal sequences, naive path otherwise (see ops/attention.py)."""
+    from ..ops.attention import prefill_attention
+
+    b, t, d = x.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+
+    if "qkv_proj" in layer:
+        qkv = layer["qkv_proj"](x)
+        q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
+    else:
+        q, k, v = layer["q_proj"](x), layer["k_proj"](x), layer["v_proj"](x)
+    q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    q = _apply_rope(q, cos, sin)
+    k = _apply_rope(k, cos, sin)
+
+    rep = nh // nkv
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+    # pure causal -> flash-eligible (mask baked into the kernel); sliding
+    # window / explicit masks use the naive path
+    flash_ok = getattr(cfg, "sliding_window", None) is None
+    out = prefill_attention(
+        q, k, v, causal=True, mask=None if flash_ok else mask, scale=hd**-0.5
+    )
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
+    return layer["o_proj"](out)
+
+
 def _attention(
     layer: dict,
     cfg: LlamaConfig,
@@ -366,12 +407,7 @@ def forward(
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
         if cache is None:
-            ck = jnp.zeros(
-                (1, b, cfg.num_key_value_heads, t, cfg.head_dim_), x.dtype
-            )
-            attn_out, _, _ = _attention(
-                layer["self_attn"], cfg, h, ck, ck, 0, 0, mask, cos, sin
-            )
+            attn_out = _attention_nocache(layer["self_attn"], cfg, h, mask, cos, sin)
         else:
             attn_out, k_all, v_all = _attention(
                 layer["self_attn"], cfg, h, k_all, v_all, i, start_pos,

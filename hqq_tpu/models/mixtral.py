@@ -148,9 +148,8 @@ def forward(
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
         if cache is None:
-            ck = jnp.zeros((1, b, cfg.num_key_value_heads, t, cfg.head_dim_), x.dtype)
-            attn_out, _, _ = llama._attention(
-                layer["self_attn"], cfg, h, ck, ck, 0, 0, mask, cos, sin
+            attn_out = llama._attention_nocache(
+                layer["self_attn"], cfg, h, mask, cos, sin
             )
         else:
             attn_out, k_all, v_all = llama._attention(
