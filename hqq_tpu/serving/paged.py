@@ -1,0 +1,374 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Paged-KV continuous batching — block-table KV cache + Pallas paged
+attention.
+
+The dense engine (`batching.py`) reserves `max_len` KV rows per slot; this
+engine allocates KV in fixed-size PAGES from a shared pool with a per-request
+block table, the vLLM idea rebuilt TPU-native:
+
+* pages live in one stacked pool `[L, H, num_pages, page_size, hd]` updated
+  in place with `dynamic_update_slice` (scan-carry friendly),
+* decode attention runs the production Pallas paged-attention kernel
+  (`jax.experimental.pallas.ops.tpu.paged_attention` — async page DMA,
+  double buffering, megacore; see boom_attention_tricks.md §8-13) on TPU and
+  a gather-based reference implementation elsewhere,
+* prefill reuses the dense model forward into a mini cache, then splices it
+  page-by-page into the pool,
+* the host-side page allocator is a simple free list; admission waits until
+  a request's worst-case page budget is free (no preemption).
+
+The reference has no serving substrate of its own (it rides vLLM,
+`/root/reference/hqq/utils/vllm.py`); this module is the native equivalent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import Array
+
+from ..models import llama
+from .batching import Request
+from .generate import next_power_of_2, sample_token
+
+__all__ = ["PagedKVCache", "PagedBatchingEngine", "paged_attention_ref"]
+
+
+@struct.dataclass
+class PagedKVCache:
+    """Pooled KV pages: k/v [L, n_kv_heads, num_pages, page_size, head_dim]."""
+
+    k: Array
+    v: Array
+    page_size: int = struct.field(pytree_node=False, default=16)
+
+    @property
+    def num_pages(self) -> int:
+        return self.k.shape[2]
+
+
+def init_paged_cache(
+    cfg, num_pages: int, page_size: int = 16, dtype=jnp.bfloat16
+) -> PagedKVCache:
+    shape = (
+        cfg.num_hidden_layers,
+        cfg.num_key_value_heads,
+        num_pages,
+        page_size,
+        cfg.head_dim_,
+    )
+    return PagedKVCache(
+        k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype), page_size=page_size
+    )
+
+
+def paged_attention_ref(
+    q: Array,  # [B, nh, hd] (pre-scaled)
+    k_pages: Array,  # [H, P, pg, hd]
+    v_pages: Array,
+    lengths: Array,  # [B] int32
+    page_indices: Array,  # [B, MP] int32
+) -> Array:
+    """Gather-based reference paged attention (CPU tests + fallback)."""
+    b, nh, hd = q.shape
+    h = k_pages.shape[0]
+    mp, pg = page_indices.shape[1], k_pages.shape[2]
+    s_max = mp * pg
+
+    k_seq = jnp.take(k_pages, page_indices, axis=1)  # [H, B, MP, pg, hd]
+    v_seq = jnp.take(v_pages, page_indices, axis=1)
+    k_seq = k_seq.transpose(1, 0, 2, 3, 4).reshape(b, h, s_max, hd)
+    v_seq = v_seq.transpose(1, 0, 2, 3, 4).reshape(b, h, s_max, hd)
+
+    rep = nh // h
+    if rep > 1:
+        k_seq = jnp.repeat(k_seq, rep, axis=1)
+        v_seq = jnp.repeat(v_seq, rep, axis=1)
+
+    scores = jnp.einsum("bhd,bhsd->bhs", q, k_seq, preferred_element_type=jnp.float32)
+    neg = jnp.finfo(jnp.float32).min
+    valid = jnp.arange(s_max)[None, :] < lengths[:, None]  # [B, S]
+    scores = jnp.where(valid[:, None, :], scores, neg)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhs,bhsd->bhd", probs, v_seq)
+
+
+def _paged_attn(q, k_pages, v_pages, lengths, page_indices, pages_per_block):
+    """Dispatch to the Pallas kernel on TPU, reference impl elsewhere."""
+    if jax.default_backend() == "tpu":
+        from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
+
+        return paged_attention(
+            q,
+            k_pages,
+            v_pages,
+            lengths,
+            page_indices,
+            pages_per_compute_block=pages_per_block,
+        )
+    return paged_attention_ref(q, k_pages, v_pages, lengths, page_indices)
+
+
+def paged_decode_step(
+    params: dict,
+    cfg,
+    tokens: Array,  # [B] int32
+    cache: PagedKVCache,
+    lengths: Array,  # [B] current sequence length (pos of the new token)
+    page_indices: Array,  # [B, MP] int32
+    pages_per_block: int = 4,
+):
+    """One decode step for all slots over the paged pool.
+
+    Llama-family layers (supports fused qkv/gate_up from fuse_for_decode).
+    Returns (logits [B, V], cache).
+    """
+    b = tokens.shape[0]
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    pg = cache.page_size
+
+    x = jnp.take(params["embed_tokens"], tokens[:, None], axis=0)  # [B, 1, D]
+    cos, sin = llama._rope_cos_sin(lengths, hd, cfg.rope_theta)  # [B, hd]
+    cos = cos[:, None, None, :]  # [B, 1, 1, hd]
+    sin = sin[:, None, None, :]
+
+    k_pool, v_pool = cache.k, cache.v
+    page_of = page_indices[jnp.arange(b), lengths // pg]  # [B] physical page
+    offset = lengths % pg  # [B]
+
+    for i, layer in enumerate(params["layers"]):
+        sa = layer["self_attn"]
+        h = llama.rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        if "qkv_proj" in sa:
+            qkv = sa["qkv_proj"](h)
+            q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
+        else:
+            q, k, v = sa["q_proj"](h), sa["k_proj"](h), sa["v_proj"](h)
+        q = q.reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
+        q = llama._apply_rope(q, cos, sin)
+        k = llama._apply_rope(k, cos, sin)
+
+        # write the new K/V row of every slot into its page
+        for bi in range(b):
+            kv_val = k[bi, :, 0][None, :, None, None, :].astype(k_pool.dtype)
+            vv_val = v[bi, :, 0][None, :, None, None, :].astype(v_pool.dtype)
+            idx = (i, 0, page_of[bi], offset[bi], 0)
+            k_pool = jax.lax.dynamic_update_slice(k_pool, kv_val, idx)
+            v_pool = jax.lax.dynamic_update_slice(v_pool, vv_val, idx)
+
+        qd = (q[:, :, 0] * (hd**-0.5)).astype(k_pool.dtype)  # [B, nh, hd]
+        attn = _paged_attn(
+            qd, k_pool[i], v_pool[i], lengths + 1, page_indices, pages_per_block
+        )  # [B, nh, hd]
+        attn = attn.reshape(b, 1, nh * hd).astype(x.dtype)
+        x = x + sa["o_proj"](attn)
+
+        h = llama.rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+        x = x + llama._mlp(layer["mlp"], h)
+
+    x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        logits = jnp.einsum("btd,vd->btv", x, params["embed_tokens"],
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = params["lm_head"](x).astype(jnp.float32)
+    return logits[:, 0], dataclasses.replace(cache, k=k_pool, v=v_pool)
+
+
+def splice_prefill_into_pages(
+    cache: PagedKVCache, mini: llama.KVCache, pages: List[int], t_real: int
+) -> PagedKVCache:
+    """Copy a dense prefill mini-cache [L, 1, H, T_pad, hd] into `pages`."""
+    pg = cache.page_size
+    k_pool, v_pool = cache.k, cache.v
+    n_full = -(-t_real // pg)
+    for j in range(n_full):
+        chunk_k = jax.lax.dynamic_slice_in_dim(mini.k[:, 0], j * pg, pg, axis=2)
+        chunk_v = jax.lax.dynamic_slice_in_dim(mini.v[:, 0], j * pg, pg, axis=2)
+        # [L, H, pg, hd] -> [L, H, 1, pg, hd] at page pages[j]
+        k_pool = jax.lax.dynamic_update_slice(
+            k_pool, chunk_k[:, :, None].astype(k_pool.dtype), (0, 0, pages[j], 0, 0)
+        )
+        v_pool = jax.lax.dynamic_update_slice(
+            v_pool, chunk_v[:, :, None].astype(v_pool.dtype), (0, 0, pages[j], 0, 0)
+        )
+    return dataclasses.replace(cache, k=k_pool, v=v_pool)
+
+
+class PagedBatchingEngine:
+    """Continuous batching over a paged KV pool (same public API as
+    `ContinuousBatchingEngine`: add_request / step / run)."""
+
+    def __init__(
+        self,
+        params: Any,
+        cfg: Any,
+        batch_slots: int = 8,
+        num_pages: int = 512,
+        page_size: int = 16,
+        max_pages_per_seq: int = 64,  # must be a multiple of 4 (kernel block)
+        eos_token_id: Optional[int] = None,
+        do_sample: bool = False,
+        top_k: int = 20,
+        temperature: float = 0.6,
+        cache_dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.s = batch_slots
+        self.pg = page_size
+        assert max_pages_per_seq % 4 == 0, "max_pages_per_seq must be a multiple of 4"
+        self.mp = max_pages_per_seq
+        self.eos = eos_token_id
+        self.do_sample = do_sample
+        self.top_k = top_k
+        self.temperature = temperature
+
+        self.cache = init_paged_cache(cfg, num_pages, page_size, cache_dtype)
+        self._key = jax.random.PRNGKey(seed)
+
+        # page 0 is a reserved scratch page: dead slots' block tables point
+        # at it, so their (ignored) decode writes can never corrupt a live
+        # request's pages
+        self.free_pages = deque(range(1, num_pages))
+        self.slot_pages: List[List[int]] = [[] for _ in range(batch_slots)]
+        # block table; unallocated entries point at page 0 (never read thanks
+        # to the length mask)
+        self._page_tab = np.zeros((batch_slots, max_pages_per_seq), np.int32)
+
+        self.queue: deque[Request] = deque()
+        self.active: Dict[int, Request] = {}
+        self.finished: Dict[int, Request] = {}
+        self._uid = 0
+        self._tokens = np.zeros((batch_slots,), np.int32)
+        self._pos = np.zeros((batch_slots,), np.int32)
+        self._live = np.zeros((batch_slots,), bool)
+
+        self._decode_jit = jax.jit(self._decode_impl)
+        self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("t_pad",))
+
+    # -- jitted kernels ------------------------------------------------------
+    def _prefill_impl(self, params, tokens, mini_cache, *, t_pad):
+        return llama.forward(params, self.cfg, tokens, mini_cache, 0)
+
+    def _decode_impl(self, params, tokens, cache, lengths, page_tab, key):
+        logits, cache = paged_decode_step(
+            params, self.cfg, tokens, cache, lengths, page_tab
+        )
+        key, sub = jax.random.split(key)
+        nxt = sample_token(logits, sub, self.do_sample, self.top_k, self.temperature)
+        return nxt.astype(jnp.int32), cache, key
+
+    # -- host-side scheduling --------------------------------------------------
+    def add_request(self, prompt_ids, max_new_tokens: int = 128) -> int:
+        self._uid += 1
+        self.queue.append(
+            Request(
+                uid=self._uid,
+                prompt=np.asarray(prompt_ids, np.int32).reshape(-1),
+                max_new_tokens=max_new_tokens,
+            )
+        )
+        return self._uid
+
+    def _pages_needed(self, req: Request) -> int:
+        return min(
+            -(-(len(req.prompt) + req.max_new_tokens) // self.pg), self.mp
+        )
+
+    def _admit(self, slot: int, req: Request) -> None:
+        need = self._pages_needed(req)
+        pages = [self.free_pages.popleft() for _ in range(need)]
+        self.slot_pages[slot] = pages
+        self._page_tab[slot, :] = pages[0] if pages else 0
+        self._page_tab[slot, : len(pages)] = pages
+
+        t = len(req.prompt)
+        t_pad = next_power_of_2(max(t, 2))
+        # prefill must fit the allocated pages exactly: pad to page multiple
+        t_cache = -(-t_pad // self.pg) * self.pg
+        prompt = np.zeros((1, t_pad), np.int32)
+        prompt[0, :t] = req.prompt
+        mini = llama.init_cache(self.cfg, 1, t_cache, self.cache.k.dtype)
+        logits, mini = self._prefill_jit(self.params, jnp.asarray(prompt), mini,
+                                         t_pad=t_pad)
+        self.cache = splice_prefill_into_pages(self.cache, mini, pages, t)
+
+        self._key, sub = jax.random.split(self._key)
+        first = sample_token(
+            logits[:, t - 1], sub, self.do_sample, self.top_k, self.temperature
+        )
+        req.slot = slot
+        req.output = [int(first[0])]
+        self.active[slot] = req
+        self._tokens[slot] = int(first[0])
+        self._pos[slot] = t
+        self._live[slot] = True
+        self._maybe_finish(slot)
+
+    def _release(self, slot: int) -> None:
+        for p in self.slot_pages[slot]:
+            self.free_pages.append(p)
+        self.slot_pages[slot] = []
+        self._page_tab[slot, :] = 0
+        self._pos[slot] = 0
+        self._tokens[slot] = 0
+
+    def _maybe_finish(self, slot: int) -> None:
+        req = self.active.get(slot)
+        if req is None:
+            return
+        last = req.output[-1] if req.output else None
+        out_of_pages = int(self._pos[slot]) + 1 >= len(self.slot_pages[slot]) * self.pg
+        if (
+            (self.eos is not None and last == self.eos)
+            or len(req.output) >= req.max_new_tokens
+            or out_of_pages
+        ):
+            req.done = True
+            self.finished[req.uid] = req
+            del self.active[slot]
+            self._live[slot] = False
+            self._release(slot)
+
+    def _schedule(self) -> None:
+        for slot in range(self.s):
+            if not self._live[slot] and self.queue:
+                if len(self.free_pages) < self._pages_needed(self.queue[0]):
+                    return  # wait for pages
+                self._admit(slot, self.queue.popleft())
+
+    def step(self) -> int:
+        self._schedule()
+        if not self.active:
+            return 0
+        nxt, self.cache, self._key = self._decode_jit(
+            self.params,
+            jnp.asarray(self._tokens),
+            self.cache,
+            jnp.asarray(self._pos),
+            jnp.asarray(self._page_tab),
+            self._key,
+        )
+        nxt = np.asarray(nxt)
+        for slot in list(self.active):
+            req = self.active[slot]
+            req.output.append(int(nxt[slot]))
+            self._tokens[slot] = int(nxt[slot])
+            self._pos[slot] += 1
+            self._maybe_finish(slot)
+        return len(self.active)
+
+    def run(self) -> Dict[int, List[int]]:
+        while self.queue or self.active:
+            self.step()
+        return {uid: r.output for uid, r in self.finished.items()}
