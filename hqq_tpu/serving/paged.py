@@ -42,19 +42,31 @@ __all__ = ["PagedKVCache", "PagedBatchingEngine", "paged_attention_ref"]
 
 @struct.dataclass
 class PagedKVCache:
-    """Pooled KV pages: k/v [L, n_kv_heads, num_pages, page_size, head_dim]."""
+    """Pooled KV pages: k/v [L, n_kv_heads, num_pages, page_size, head_dim].
+
+    With `quantized` (guide: boom_attention_tricks.md §13) pages are int8 and
+    k/v_scales hold per-row absmax scales [L, H, P, pg, 1] — half the KV
+    memory and page bandwidth, supported natively by the Pallas kernel via
+    QuantizedTensor."""
 
     k: Array
     v: Array
+    k_scales: Optional[Array] = None
+    v_scales: Optional[Array] = None
     page_size: int = struct.field(pytree_node=False, default=16)
 
     @property
     def num_pages(self) -> int:
         return self.k.shape[2]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scales is not None
+
 
 def init_paged_cache(
-    cfg, num_pages: int, page_size: int = 16, dtype=jnp.bfloat16
+    cfg, num_pages: int, page_size: int = 16, dtype=jnp.bfloat16,
+    quantize_kv: bool = False,
 ) -> PagedKVCache:
     shape = (
         cfg.num_hidden_layers,
@@ -63,9 +75,26 @@ def init_paged_cache(
         page_size,
         cfg.head_dim_,
     )
+    if quantize_kv:
+        sshape = shape[:-1] + (1,)
+        return PagedKVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            k_scales=jnp.ones(sshape, jnp.float32),
+            v_scales=jnp.ones(sshape, jnp.float32),
+            page_size=page_size,
+        )
     return PagedKVCache(
         k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype), page_size=page_size
     )
+
+
+def _quant_rows(x: Array):
+    """Per-row int8 quantization (absmax over the last dim)."""
+    scales = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scales = jnp.maximum(scales, 1e-8)
+    w = jnp.round(x.astype(jnp.float32) / scales * 127.0).astype(jnp.int8)
+    return w, scales.astype(jnp.float32)
 
 
 def paged_attention_ref(
@@ -99,11 +128,21 @@ def paged_attention_ref(
     return jnp.einsum("bhs,bhsd->bhd", probs, v_seq)
 
 
-def _paged_attn(q, k_pages, v_pages, lengths, page_indices, pages_per_block):
-    """Dispatch to the Pallas kernel on TPU, reference impl elsewhere."""
+def _paged_attn(q, k_pages, v_pages, lengths, page_indices, pages_per_block,
+                k_scales=None, v_scales=None):
+    """Dispatch to the Pallas kernel on TPU, reference impl elsewhere.
+    int8 pages ride the kernel's QuantizedTensor path."""
     if jax.default_backend() == "tpu":
         from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
+        from jax.experimental.pallas.ops.tpu.paged_attention.quantization_utils import (
+            QuantizedTensor,
+        )
 
+        if k_scales is not None:
+            # kernel convention: int8 weight + absmax scales (w = q/127*s is
+            # folded as w = q * (s/127) by pre-scaling)
+            k_pages = QuantizedTensor(weight=k_pages, scales=k_scales / 127.0)
+            v_pages = QuantizedTensor(weight=v_pages, scales=v_scales / 127.0)
         return paged_attention(
             q,
             k_pages,
@@ -112,6 +151,10 @@ def _paged_attn(q, k_pages, v_pages, lengths, page_indices, pages_per_block):
             page_indices,
             pages_per_compute_block=pages_per_block,
         )
+    if k_scales is not None:
+        k_pages = k_pages.astype(jnp.float32) * (k_scales / 127.0)
+        v_pages = v_pages.astype(jnp.float32) * (v_scales / 127.0)
+        q = q.astype(jnp.float32)
     return paged_attention_ref(q, k_pages, v_pages, lengths, page_indices)
 
 
@@ -139,6 +182,7 @@ def paged_decode_step(
     sin = sin[:, None, None, :]
 
     k_pool, v_pool = cache.k, cache.v
+    ks_pool, vs_pool = cache.k_scales, cache.v_scales
     page_of = page_indices[jnp.arange(b), lengths // pg]  # [B] physical page
     offset = lengths % pg  # [B]
 
@@ -158,15 +202,31 @@ def paged_decode_step(
 
         # write the new K/V row of every slot into its page
         for bi in range(b):
-            kv_val = k[bi, :, 0][None, :, None, None, :].astype(k_pool.dtype)
-            vv_val = v[bi, :, 0][None, :, None, None, :].astype(v_pool.dtype)
+            kb, vb = k[bi, :, 0], v[bi, :, 0]  # [H, hd]
             idx = (i, 0, page_of[bi], offset[bi], 0)
-            k_pool = jax.lax.dynamic_update_slice(k_pool, kv_val, idx)
-            v_pool = jax.lax.dynamic_update_slice(v_pool, vv_val, idx)
+            if cache.quantized:
+                kq, ks = _quant_rows(kb)
+                vq, vs = _quant_rows(vb)
+                k_pool = jax.lax.dynamic_update_slice(
+                    k_pool, kq[None, :, None, None, :], idx)
+                v_pool = jax.lax.dynamic_update_slice(
+                    v_pool, vq[None, :, None, None, :], idx)
+                ks_pool = jax.lax.dynamic_update_slice(
+                    ks_pool, ks[None, :, None, None, :], idx)
+                vs_pool = jax.lax.dynamic_update_slice(
+                    vs_pool, vs[None, :, None, None, :], idx)
+            else:
+                k_pool = jax.lax.dynamic_update_slice(
+                    k_pool, kb[None, :, None, None, :].astype(k_pool.dtype), idx)
+                v_pool = jax.lax.dynamic_update_slice(
+                    v_pool, vb[None, :, None, None, :].astype(v_pool.dtype), idx)
 
-        qd = (q[:, :, 0] * (hd**-0.5)).astype(k_pool.dtype)  # [B, nh, hd]
+        qdt = jnp.float32 if cache.quantized else k_pool.dtype
+        qd = (q[:, :, 0] * (hd**-0.5)).astype(qdt)  # [B, nh, hd]
         attn = _paged_attn(
-            qd, k_pool[i], v_pool[i], lengths + 1, page_indices, pages_per_block
+            qd, k_pool[i], v_pool[i], lengths + 1, page_indices, pages_per_block,
+            None if ks_pool is None else ks_pool[i],
+            None if vs_pool is None else vs_pool[i],
         )  # [B, nh, hd]
         attn = attn.reshape(b, 1, nh * hd).astype(x.dtype)
         x = x + sa["o_proj"](attn)
@@ -180,7 +240,9 @@ def paged_decode_step(
                             preferred_element_type=jnp.float32)
     else:
         logits = params["lm_head"](x).astype(jnp.float32)
-    return logits[:, 0], dataclasses.replace(cache, k=k_pool, v=v_pool)
+    return logits[:, 0], dataclasses.replace(
+        cache, k=k_pool, v=v_pool, k_scales=ks_pool, v_scales=vs_pool
+    )
 
 
 def splice_prefill_into_pages(
@@ -189,18 +251,28 @@ def splice_prefill_into_pages(
     """Copy a dense prefill mini-cache [L, 1, H, T_pad, hd] into `pages`."""
     pg = cache.page_size
     k_pool, v_pool = cache.k, cache.v
+    ks_pool, vs_pool = cache.k_scales, cache.v_scales
     n_full = -(-t_real // pg)
     for j in range(n_full):
         chunk_k = jax.lax.dynamic_slice_in_dim(mini.k[:, 0], j * pg, pg, axis=2)
         chunk_v = jax.lax.dynamic_slice_in_dim(mini.v[:, 0], j * pg, pg, axis=2)
-        # [L, H, pg, hd] -> [L, H, 1, pg, hd] at page pages[j]
-        k_pool = jax.lax.dynamic_update_slice(
-            k_pool, chunk_k[:, :, None].astype(k_pool.dtype), (0, 0, pages[j], 0, 0)
-        )
-        v_pool = jax.lax.dynamic_update_slice(
-            v_pool, chunk_v[:, :, None].astype(v_pool.dtype), (0, 0, pages[j], 0, 0)
-        )
-    return dataclasses.replace(cache, k=k_pool, v=v_pool)
+        at = (0, 0, pages[j], 0, 0)
+        if cache.quantized:
+            kq, ks = _quant_rows(chunk_k)
+            vq, vs = _quant_rows(chunk_v)
+            k_pool = jax.lax.dynamic_update_slice(k_pool, kq[:, :, None], at)
+            v_pool = jax.lax.dynamic_update_slice(v_pool, vq[:, :, None], at)
+            ks_pool = jax.lax.dynamic_update_slice(ks_pool, ks[:, :, None], at)
+            vs_pool = jax.lax.dynamic_update_slice(vs_pool, vs[:, :, None], at)
+        else:
+            # [L, H, pg, hd] -> [L, H, 1, pg, hd] at page pages[j]
+            k_pool = jax.lax.dynamic_update_slice(
+                k_pool, chunk_k[:, :, None].astype(k_pool.dtype), at)
+            v_pool = jax.lax.dynamic_update_slice(
+                v_pool, chunk_v[:, :, None].astype(v_pool.dtype), at)
+    return dataclasses.replace(
+        cache, k=k_pool, v=v_pool, k_scales=ks_pool, v_scales=vs_pool
+    )
 
 
 class PagedBatchingEngine:
@@ -220,6 +292,7 @@ class PagedBatchingEngine:
         top_k: int = 20,
         temperature: float = 0.6,
         cache_dtype=jnp.bfloat16,
+        quantize_kv: bool = False,
         seed: int = 0,
     ):
         self.params = params
@@ -233,7 +306,9 @@ class PagedBatchingEngine:
         self.top_k = top_k
         self.temperature = temperature
 
-        self.cache = init_paged_cache(cfg, num_pages, page_size, cache_dtype)
+        self.cache = init_paged_cache(cfg, num_pages, page_size, cache_dtype,
+                                      quantize_kv=quantize_kv)
+        self._mini_dtype = cache_dtype  # prefill mini-cache stays float
         self._key = jax.random.PRNGKey(seed)
 
         # page 0 is a reserved scratch page: dead slots' block tables point
@@ -298,7 +373,7 @@ class PagedBatchingEngine:
         t_cache = -(-t_pad // self.pg) * self.pg
         prompt = np.zeros((1, t_pad), np.int32)
         prompt[0, :t] = req.prompt
-        mini = llama.init_cache(self.cfg, 1, t_cache, self.cache.k.dtype)
+        mini = llama.init_cache(self.cfg, 1, t_cache, self._mini_dtype)
         logits, mini = self._prefill_jit(self.params, jnp.asarray(prompt), mini,
                                          t_pad=t_pad)
         self.cache = splice_prefill_into_pages(self.cache, mini, pages, t)

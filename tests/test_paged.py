@@ -73,3 +73,32 @@ def test_paged_engine_matches_dense_engine(rng):
     assert set(out_d) == set(out_p)
     for uid in out_d:
         assert out_d[uid] == out_p[uid], (uid, out_d[uid], out_p[uid])
+
+
+def test_paged_engine_quantized_kv_close_to_fp(rng):
+    cfg = LlamaConfig.tiny(vocab_size=512)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qparams = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                             compute_dtype=jnp.float32)
+    prompts = [list(rng.integers(1, 512, (int(n),))) for n in (6, 14)]
+
+    fp = PagedBatchingEngine(qparams, cfg, batch_slots=2, num_pages=64,
+                             page_size=8, max_pages_per_seq=8,
+                             cache_dtype=jnp.float32)
+    q8 = PagedBatchingEngine(qparams, cfg, batch_slots=2, num_pages=64,
+                             page_size=8, max_pages_per_seq=8,
+                             cache_dtype=jnp.float32, quantize_kv=True)
+    for p in prompts:
+        fp.add_request(p, max_new_tokens=8)
+        q8.add_request(p, max_new_tokens=8)
+    out_fp = fp.run()
+    out_q8 = q8.run()
+    # int8 KV on a random tiny model: the first token (pre-cache-decode) must
+    # agree; later tokens may diverge slightly — require >= half matching
+    total = same = 0
+    for uid in out_fp:
+        assert out_fp[uid][0] == out_q8[uid][0]
+        for a, b in zip(out_fp[uid], out_q8[uid]):
+            total += 1
+            same += int(a == b)
+    assert same / total > 0.5, (same, total)
