@@ -37,6 +37,7 @@ from .optimize import optimize_weights_proximal
 __all__ = [
     "QTensor",
     "Quantizer",
+    "HQQBackend",
     "quantize",
     "dequantize",
     "resolve_meta",
@@ -360,6 +361,20 @@ def dequantize(qt: QTensor, dtype=None) -> Array:
     w_r = unpack_codes(qt, qt.scale.dtype)
     w_r = (w_r - qt.zero) * qt.scale
     return w_r.reshape(qt.shape).astype(out_dtype)
+
+
+import enum
+
+
+class HQQBackend(str, enum.Enum):
+    """Inference backend selector (≙ reference `HQQBackend` enum,
+    `/root/reference/hqq/core/quantize.py:269-285` — the torch variants
+    PYTORCH/PYTORCH_COMPILE/ATEN collapse to these TPU implementations;
+    all are backprop-capable through `dequant_matmul`'s custom VJP)."""
+
+    XLA = "xla"          # dequant -> matmul, XLA-fused (≙ PYTORCH[_COMPILE])
+    PALLAS = "pallas"    # fused in-register dequant+matmul (≙ ATEN/fused)
+    INT8 = "int8"        # dynamic A8W8 on the MXU (≙ ATEN_FORWARD_INT8)
 
 
 class Quantizer:

@@ -138,9 +138,15 @@ class Generator:
         input_ids,
         max_new_tokens: Optional[int] = None,
         seed: int = 0,
+        on_token=None,
     ) -> np.ndarray:
         """input_ids: [B, T] token ids (list / np / jnp). Returns generated
-        ids [B, <=max_new_tokens] (prompt not included)."""
+        ids [B, <=max_new_tokens] (prompt not included).
+
+        on_token: optional callback(token_ids [B]) fired per decode step —
+        per-token streaming (≙ HFGenerator's streaming print, ref
+        `utils/generation_hf.py:471-505`); forces the "partial" compile mode
+        for this call."""
         input_ids = np.asarray(input_ids)
         if input_ids.ndim == 1:
             input_ids = input_ids[None]
@@ -163,7 +169,9 @@ class Generator:
         key, sub = jax.random.split(key)
         first = self._sample(logits[:, t - 1], sub)
 
-        if self.compile_mode == "full":
+        if on_token is not None:
+            on_token(np.asarray(first))
+        if self.compile_mode == "full" and on_token is None:
             toks, _ = self._decode_loop(
                 self.params, first, cache, t, key, steps=steps - 1
             )
@@ -174,7 +182,10 @@ class Generator:
             for _ in range(steps - 1):
                 tok, cache, key = self._decode_step(self.params, tok, cache, pos, key)
                 pos += 1
-                outs.append(np.asarray(tok))
+                tok_np = np.asarray(tok)
+                outs.append(tok_np)
+                if on_token is not None:
+                    on_token(tok_np)
             out = np.stack(outs, axis=1)
 
         if self.eos_token_id is not None:
