@@ -66,8 +66,30 @@ def _register_phi():
     }
 
 
+def _register_qwen2():
+    # Qwen2 is Llama-shaped with attention biases (the HF loader picks up
+    # *.bias automatically) — ≙ the reference's Qwen2-VL example support.
+    _HQQ_REGISTRY["qwen2"] = {
+        "config": llama.LlamaConfig.from_hf,
+        "forward": llama.forward,
+        "loader": hf_loader.params_from_hf_state_dict,
+    }
+
+
+def _register_gemma():
+    from ..models import gemma as gemma_mod
+
+    _HQQ_REGISTRY["gemma"] = {
+        "config": gemma_mod.GemmaConfig.from_hf,
+        "forward": gemma_mod.forward,
+        "loader": hf_loader.params_from_hf_state_dict,
+    }
+
+
 _register_mistral()
 _register_phi()
+_register_qwen2()
+_register_gemma()
 
 
 def _register_mixtral():
@@ -187,6 +209,10 @@ class HQQModelForCausalLM:
             from ..models import phi as phi_mod
 
             cfg = phi_mod.PhiConfig(**hf_cfg)
+        elif model_type == "gemma":
+            from ..models import gemma as gemma_mod
+
+            cfg = gemma_mod.GemmaConfig(**hf_cfg)
         else:
             cfg = arch["config"](hf_cfg)
         return HQQModel(params=params, cfg=cfg, model_type=model_type, quantized=True)
