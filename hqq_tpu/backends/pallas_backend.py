@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax.numpy as jnp
 from flax import struct
 from jax import Array
 

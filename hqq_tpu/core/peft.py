@@ -16,7 +16,7 @@ instead of requires_grad flags — the natural JAX idiom for
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, List, Optional, Tuple
+from typing import Any, Callable, List, Optional
 
 import jax
 import jax.numpy as jnp

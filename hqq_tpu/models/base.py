@@ -13,12 +13,8 @@ supported exactly like the reference (`models/base.py:282-289`).
 
 from __future__ import annotations
 
-import json
-import os
 from typing import Any, Callable, Dict, Optional, Union
 
-import jax
-import jax.numpy as jnp
 
 from ..core.quantize import BaseQuantizeConfig
 from ..nn.linear import Linear, QuantLinear

@@ -16,9 +16,8 @@ half-split RoPE) so HF Llama/Mistral checkpoints load directly.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
-from typing import Any, List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ Architecture (HF ViTForImageClassification, pre-LN):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

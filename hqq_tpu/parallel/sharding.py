@@ -26,7 +26,7 @@ column-parallel base; gradient reductions are derived by GSPMD.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ step. The TPU equivalents used here:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional
 
 import jax

@@ -14,7 +14,7 @@ DP×TP program with gradient reductions inserted automatically.
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, Optional, Tuple
+from typing import Any, Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
