@@ -38,14 +38,39 @@ from ..nn.linear import Linear, QuantLinear
 
 __all__ = ["llama_partition_rules", "tree_shardings", "shard_params", "COL_TAGS", "ROW_TAGS"]
 
+# Megatron-style column/row split tags across ALL model families
+# (llama/mistral/mixtral: q/k/v+gate/up col, o+down row; phi: q/k/v+fc1 col,
+# dense+fc2 row; vit: attention q/k/v+fc1 col, attention.dense+fc2 row;
+# whisper: q/k/v+fc1 col, out_proj+fc2 row).
 COL_TAGS = (
     "self_attn.q_proj",
     "self_attn.k_proj",
     "self_attn.v_proj",
     "mlp.gate_proj",
     "mlp.up_proj",
+    "mlp.fc1",
+    "attention.query",
+    "attention.key",
+    "attention.value",
+    "encoder_attn.q_proj",
+    "encoder_attn.k_proj",
+    "encoder_attn.v_proj",
+    "fc1",
+    "encoder.fc1",
+    "decoder.fc1",
 )
-ROW_TAGS = ("self_attn.o_proj", "mlp.down_proj")
+ROW_TAGS = (
+    "self_attn.o_proj",
+    "mlp.down_proj",
+    "self_attn.dense",
+    "mlp.fc2",
+    "attention.dense",
+    "self_attn.out_proj",
+    "encoder_attn.out_proj",
+    "fc2",
+    "encoder.fc2",
+    "decoder.fc2",
+)
 
 
 def np_ndim_of(x) -> int:

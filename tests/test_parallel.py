@@ -137,3 +137,31 @@ def test_mixtral_expert_parallel_sharding():
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(ref_logits), rtol=2e-3, atol=2e-3
     )
+
+
+def test_phi_gspmd_tensor_parallel():
+    """GSPMD TP generalizes beyond llama: phi's q/k/v+fc1 shard column-wise,
+    dense+fc2 row-wise; sharded forward == unsharded."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.models import phi, quantize_model
+    from hqq_tpu.parallel import make_mesh, shard_params
+
+    cfg = phi.PhiConfig.tiny()
+    params = phi.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+    tokens = jnp.asarray([[1, 5, 9, 12]], jnp.int32)
+    ref, _ = phi.forward(q, cfg, tokens)
+
+    mesh = make_mesh(data=1, model=4)
+    sharded = shard_params(q, mesh)
+    # fc1 bias must be model-sharded (column split)
+    fc1 = sharded["layers"][0]["mlp"]["fc1"]
+    assert fc1.bias.sharding.spec[0] == "model"
+    with mesh:
+        out, _ = jax.jit(lambda p, t: phi.forward(p, cfg, t))(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
