@@ -7,3 +7,4 @@ from .tp import (  # noqa: F401
     prepare_tp_llama,
     tp_forward_fn,
 )
+from .ring import ring_attention, ring_attention_sharded  # noqa: F401
