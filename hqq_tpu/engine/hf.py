@@ -133,10 +133,16 @@ class HQQModel:
         self.quantized = True
         return self
 
-    def prepare_for_inference(self, backend: str = "pallas") -> "HQQModel":
-        from ..utils.patching import prepare_for_inference
+    def prepare_for_inference(
+        self, backend: str = "pallas", fuse: bool = False
+    ) -> "HQQModel":
+        """Swap to a fused backend; `fuse=True` additionally merges q/k/v and
+        gate/up into wide decode matmuls (int8 backend, Llama-family)."""
+        from ..utils.patching import fuse_for_decode, prepare_for_inference
 
         self.params = prepare_for_inference(self.params, backend)
+        if fuse:
+            self.params = fuse_for_decode(self.params)
         return self
 
     # -- persistence --------------------------------------------------------

@@ -378,19 +378,26 @@ def _mlp(layer: dict, x: Array) -> Array:
 def forward(
     params: dict,
     cfg: LlamaConfig,
-    tokens: Array,
+    tokens: Optional[Array],
     cache: Optional[KVCache] = None,
     start_pos: int | Array = 0,
     kv_valid: Optional[Array] = None,
+    inputs_embeds: Optional[Array] = None,
 ) -> Tuple[Array, Optional[KVCache]]:
     """Run the model over `tokens` [B, T] starting at `start_pos`.
 
     Returns (logits [B, T, V], updated cache). With cache=None a causal
     mask over T is used and no cache is produced (training / PPL eval mode).
     `kv_valid` [B, S_max] optionally masks cache slots (left-padded batches).
+    `inputs_embeds` [B, T, D] bypasses the token embedding (multimodal
+    prefixes, ≙ HF inputs_embeds — see examples/vlm_demo.py).
     """
-    b, t = tokens.shape
-    x = jnp.take(params["embed_tokens"], tokens, axis=0)
+    if inputs_embeds is not None:
+        x = inputs_embeds
+        b, t = x.shape[:2]
+    else:
+        b, t = tokens.shape
+        x = jnp.take(params["embed_tokens"], tokens, axis=0)
 
     _, cos, sin, mask = positions_and_masks(
         cfg, t, start_pos, None if cache is None else cache.max_len, kv_valid
