@@ -23,7 +23,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "local_mesh", "P", "NamedSharding"]
+__all__ = ["make_mesh", "local_mesh", "init_multihost", "P", "NamedSharding"]
 
 
 def make_mesh(
@@ -46,6 +46,30 @@ def make_mesh(
     assert data * model <= n, f"mesh {data}x{model} needs more than {n} devices"
     arr = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(arr, axis_names)
+
+
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize multi-host JAX (one process per host of a TPU slice).
+
+    On Cloud TPU the arguments auto-detect from the metadata server; set them
+    explicitly elsewhere. After this, `jax.devices()` spans the whole slice
+    and `make_mesh` builds pod-wide meshes (collectives ride ICI within a
+    slice, DCN across slices). Returns the process index. Safe to call twice.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+    return jax.process_index()
 
 
 def local_mesh(model: Optional[int] = None, data: int = 1) -> Mesh:

@@ -73,10 +73,15 @@ def make_lora_train_step(
     trainable: TrainableParams,
     optimizer,
     loss_fn: Optional[Callable] = None,
+    remat: bool = False,
 ):
     """Build `(train_vals, opt_state, params, batch) -> (train_vals,
     opt_state, loss)`, jitted. `params` is the full (frozen) tree; the step
-    differentiates w.r.t. the trainable leaf list only."""
+    differentiates w.r.t. the trainable leaf list only.
+
+    remat=True wraps the loss in `jax.checkpoint` — activations are
+    recomputed in the backward pass instead of stored, trading FLOPs for HBM
+    (long sequences / big batches on a 16 GB chip)."""
     loss_fn = loss_fn or causal_lm_loss
 
     def _loss(train_vals: List[Array], params: Any, batch) -> Array:
@@ -84,6 +89,9 @@ def make_lora_train_step(
         if isinstance(batch, (tuple, list)):
             return loss_fn(p, cfg, *batch)
         return loss_fn(p, cfg, batch)
+
+    if remat:
+        _loss = jax.checkpoint(_loss)
 
     @jax.jit
     def step(train_vals, opt_state, params, batch):
