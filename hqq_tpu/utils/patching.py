@@ -35,25 +35,44 @@ __all__ = ["prepare_for_inference", "merge_zeros_into_lora", "lowrank_approx", "
 BACKENDS = ("xla", "pallas", "int8")
 
 
-def prepare_for_inference(params: Any, backend: str = "pallas", verbose: bool = False) -> Any:
-    """Swap quantized layers to the requested inference backend."""
-    assert backend in BACKENDS, f"backend must be one of {BACKENDS}"
+def prepare_for_inference(params: Any, backend="pallas", verbose: bool = False) -> Any:
+    """Swap quantized layers to the requested inference backend.
+
+    `backend` is a single name or a {linear_tag: backend} dict for per-tag
+    mixing (e.g. int8 attention + pallas FFN so a 13B fits a 16 GB chip at
+    the int8 speed where it matters; tags as in `models.base.get_linear_tags`,
+    missing tags keep "xla")."""
+    from ..models.base import name_to_linear_tag
+
+    per_tag = isinstance(backend, dict)
+    if per_tag:
+        for b in backend.values():
+            assert b in BACKENDS, f"backend must be one of {BACKENDS}: {b}"
+    else:
+        assert backend in BACKENDS, f"backend must be one of {BACKENDS}"
     stats = {"converted": 0, "kept": 0}
 
-    def convert(node: Any) -> Any:
-        if isinstance(node, dict):
-            return {k: convert(v) for k, v in node.items()}
-        if isinstance(node, list):
-            return [convert(v) for v in node]
-        if isinstance(node, LoRALinear):
-            return dataclasses.replace(node, base=convert(node.base))
-        if isinstance(node, QuantLinear) and backend == "pallas":
+    def one(node: Any, b: str) -> Any:
+        if b == "pallas":
             out = patch_quantlinear_to_pallas(node)
             stats["converted" if out is not node else "kept"] += 1
             return out
-        if isinstance(node, QuantLinear) and backend == "int8":
+        if b == "int8":
             stats["converted"] += 1
             return patch_quantlinear_to_int8(node)
+        stats["kept"] += 1
+        return node
+
+    def convert(node: Any, path: str = "") -> Any:
+        if isinstance(node, dict):
+            return {k: convert(v, f"{path}.{k}" if path else k) for k, v in node.items()}
+        if isinstance(node, list):
+            return [convert(v, f"{path}.{i}" if path else str(i)) for i, v in enumerate(node)]
+        if isinstance(node, LoRALinear):
+            return dataclasses.replace(node, base=convert(node.base, path))
+        if isinstance(node, QuantLinear):
+            b = backend.get(name_to_linear_tag(path), "xla") if per_tag else backend
+            return one(node, b)
         if isinstance(node, PallasQuantLinear) and backend == "xla":
             raise ValueError("cannot convert PallasQuantLinear back to xla backend")
         return node

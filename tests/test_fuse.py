@@ -60,3 +60,35 @@ def test_fused_serialization_roundtrip(tmp_path):
     l1, _ = forward(fused, cfg, tok, c1, 0)
     l2, _ = forward(loaded, cfg, tok, c2, 0)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+
+
+def test_prepare_for_inference_per_tag():
+    from hqq_tpu.backends.int8_backend import Int8QuantLinear
+    from hqq_tpu.backends.pallas_backend import PallasQuantLinear
+    from hqq_tpu.nn import QuantLinear
+
+    cfg = LlamaConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+    mix = {
+        "self_attn.q_proj": "int8",
+        "self_attn.k_proj": "int8",
+        "self_attn.v_proj": "int8",
+        "self_attn.o_proj": "int8",
+        "mlp.gate_proj": "pallas",
+        "mlp.up_proj": "pallas",
+        "mlp.down_proj": "xla",
+    }
+    out = prepare_for_inference(q, backend=mix)
+    layer = out["layers"][0]
+    assert isinstance(layer["self_attn"]["q_proj"], Int8QuantLinear)
+    assert isinstance(layer["mlp"]["gate_proj"], PallasQuantLinear)
+    assert isinstance(layer["mlp"]["down_proj"], QuantLinear)
+
+    tok = jnp.asarray([[1, 2, 3]], jnp.int32)
+    l_ref, _ = forward(q, cfg, tok)
+    l_mix, _ = forward(out, cfg, tok)
+    rel = np.abs(np.asarray(l_mix) - np.asarray(l_ref)).mean() / (
+        np.abs(np.asarray(l_ref)).mean() + 1e-9)
+    assert rel < 0.05, rel
