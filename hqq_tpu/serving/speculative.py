@@ -1,12 +1,16 @@
 # SPDX-License-Identifier: Apache-2.0
-"""Speculative decoding — draft/verify generation with exact greedy outputs.
+"""Speculative decoding — draft/verify generation, exact w.r.t. the target.
+
+Greedy mode accepts the longest prefix matching the target's argmax choices;
+sampling mode implements full rejection sampling (Leviathan et al. 2023) on
+device, so the output DISTRIBUTION equals sampling from the target alone.
 
 A cheap DRAFT model (e.g. the same network quantized to 2-bit, or a smaller
 family member) proposes k tokens autoregressively; the TARGET model scores
-the whole window in ONE forward and accepts the longest prefix that matches
-its own greedy choices, plus one bonus token from the verifying pass. The
-output sequence is therefore IDENTICAL to the target's vanilla greedy
-decode — the draft only changes wall-clock, never content.
+the whole window in ONE forward, accepts a prefix, and supplies the next
+token (greedy correction or residual-distribution sample). In greedy mode
+the output sequence is bit-identical to the target's vanilla greedy decode —
+the draft only changes wall-clock, never content.
 
 Not in the reference library at all; natively cheap here because the static
 KV caches are position-masked (stale entries past the current position are
@@ -28,6 +32,44 @@ from .generate import next_power_of_2
 __all__ = ["SpeculativeGenerator"]
 
 
+def _spec_accept(target_logits, draft_logits, proposals, key, temperature):
+    """On-device rejection sampling (Leviathan et al.): returns
+    (n_accepted, next_token). Guarantees the output distribution equals
+    sampling from the target alone.
+
+    target_logits [k+1, V] (positions pos..pos+k), draft_logits [k, V],
+    proposals [k]."""
+    k = proposals.shape[0]
+    pt = jax.nn.softmax(target_logits.astype(jnp.float32) / temperature, axis=-1)
+    pd = jax.nn.softmax(draft_logits.astype(jnp.float32) / temperature, axis=-1)
+
+    keys = jax.random.split(key, k + 1)
+
+    def body(carry, i):
+        done, n_acc, nxt = carry
+        d_i = proposals[i]
+        ratio = pt[i, d_i] / jnp.maximum(pd[i, d_i], 1e-20)
+        u = jax.random.uniform(keys[i])
+        accept = jnp.logical_and(jnp.logical_not(done), u < ratio)
+        # residual distribution on rejection
+        resid = jnp.maximum(pt[i] - pd[i], 0.0)
+        resid = resid / jnp.maximum(resid.sum(), 1e-20)
+        rej_tok = jax.random.categorical(keys[i], jnp.log(resid + 1e-20))
+        newly_rejected = jnp.logical_and(jnp.logical_not(done), jnp.logical_not(accept))
+        nxt = jnp.where(newly_rejected, rej_tok, nxt)
+        n_acc = n_acc + jnp.where(accept, 1, 0)
+        done = jnp.logical_or(done, newly_rejected)
+        return (done, n_acc, nxt), None
+
+    (done, n_acc, nxt), _ = jax.lax.scan(
+        body, (jnp.asarray(False), jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
+        jnp.arange(k),
+    )
+    bonus = jax.random.categorical(keys[k], jnp.log(pt[k] + 1e-20))
+    nxt = jnp.where(done, nxt, bonus)
+    return n_acc, nxt.astype(jnp.int32)
+
+
 class SpeculativeGenerator:
     """Greedy speculative decoding over two param trees sharing one config
     family (target and draft must use the same tokenizer/vocab)."""
@@ -41,6 +83,10 @@ class SpeculativeGenerator:
         draft_cfg: Optional[Any] = None,
         forward_fn: Optional[Callable] = None,
         cache_dtype=jnp.bfloat16,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        eos_token_id: Optional[int] = None,
+        seed: int = 0,
     ):
         self.pt = target_params
         self.pd = draft_params
@@ -48,10 +94,17 @@ class SpeculativeGenerator:
         self.dcfg = draft_cfg or cfg
         self.k = int(k)
         self.cache_dtype = cache_dtype
+        self.do_sample = do_sample
+        self.temperature = float(temperature)
+        self.eos = eos_token_id
+        self._key = jax.random.PRNGKey(seed)
         fwd = forward_fn or llama.forward
 
         self._tgt_fwd = jax.jit(lambda p, t, c, s: fwd(p, self.cfg, t, c, s))
         self._drf_fwd = jax.jit(lambda p, t, c, s: fwd(p, self.dcfg, t, c, s))
+        self._accept = jax.jit(
+            lambda tl, dl, props, key: _spec_accept(tl, dl, props, key, self.temperature)
+        )
 
     def generate(self, input_ids, max_new_tokens: int = 128) -> np.ndarray:
         """Returns generated ids [1, <=max_new_tokens] — bit-identical to the
@@ -69,57 +122,84 @@ class SpeculativeGenerator:
         tl, tc = self._tgt_fwd(self.pt, jnp.asarray(prompt), tc, 0)
         _, dc = self._drf_fwd(self.pd, jnp.asarray(prompt), dc, 0)
 
-        tok = int(jnp.argmax(tl[0, t0 - 1]))
+        self._key, sub = jax.random.split(self._key)
+        tok = self._pick(tl[0, t0 - 1], sub)
         out = [tok]
         pos = t0  # caches hold positions < pos; `tok` sits at pos next
         # draft tokens not yet ingested by the draft cache (full-accept case)
         pending: list[int] = []
 
         while len(out) < max_new_tokens:
-            # ---- draft proposes k tokens (greedy) --------------------------
+            # ---- draft proposes k tokens ------------------------------------
             d_in = pending + [tok]
             d_pos = pos - len(pending)
-            proposals = []
-            cur = None
+            proposals: list[int] = []
+            d_logits: list = []
+            dl = None
             for tkn in d_in:
                 dl, dc = self._drf_fwd(
                     self.pd, jnp.asarray([[tkn]], jnp.int32), dc,
                     jnp.asarray(d_pos, jnp.int32),
                 )
                 d_pos += 1
-                cur = int(jnp.argmax(dl[0, -1]))
             pending = []
-            proposals.append(cur)
+            self._key, sub = jax.random.split(self._key)
+            proposals.append(self._pick(dl[0, -1], sub))
+            d_logits.append(dl[0, -1])
             while len(proposals) < self.k:
                 dl, dc = self._drf_fwd(
                     self.pd, jnp.asarray([[proposals[-1]]], jnp.int32), dc,
                     jnp.asarray(d_pos, jnp.int32),
                 )
                 d_pos += 1
-                proposals.append(int(jnp.argmax(dl[0, -1])))
+                self._key, sub = jax.random.split(self._key)
+                proposals.append(self._pick(dl[0, -1], sub))
+                d_logits.append(dl[0, -1])
 
             # ---- target verifies [tok, d1..dk] in one forward --------------
             window = np.asarray([[tok] + proposals], np.int32)  # [1, k+1]
             tl, tc = self._tgt_fwd(
                 self.pt, jnp.asarray(window), tc, jnp.asarray(pos, jnp.int32)
             )
-            greedy = np.asarray(jnp.argmax(tl[0], axis=-1))  # [k+1]
 
-            accepted = 0
-            while accepted < self.k and proposals[accepted] == int(greedy[accepted]):
-                accepted += 1
-
-            if accepted == self.k:
-                # all proposals accepted + bonus token from the verify pass
-                new = proposals + [int(greedy[self.k])]
-                # draft cache hasn't ingested the LAST proposal yet
-                pending = [proposals[-1]]
+            if self.do_sample:
+                self._key, sub = jax.random.split(self._key)
+                n_acc, nxt = self._accept(
+                    tl[0], jnp.stack(d_logits), jnp.asarray(proposals, jnp.int32), sub
+                )
+                accepted = int(n_acc)
+                nxt_tok = int(nxt)
+                if accepted == self.k:
+                    new = proposals + [nxt_tok]
+                    pending = [proposals[-1]]
+                else:
+                    new = proposals[:accepted] + [nxt_tok]
+                    pending = []
             else:
-                new = proposals[:accepted] + [int(greedy[accepted])]
-                pending = []
+                greedy = np.asarray(jnp.argmax(tl[0], axis=-1))  # [k+1]
+                accepted = 0
+                while accepted < self.k and proposals[accepted] == int(greedy[accepted]):
+                    accepted += 1
+                if accepted == self.k:
+                    # all proposals accepted + bonus token from the verify pass
+                    new = proposals + [int(greedy[self.k])]
+                    # draft cache hasn't ingested the LAST proposal yet
+                    pending = [proposals[-1]]
+                else:
+                    new = proposals[:accepted] + [int(greedy[accepted])]
+                    pending = []
 
             out.extend(new)
             tok = new[-1]
             pos += len(new)
+            if self.eos is not None and self.eos in new:
+                cut = len(out) - len(new) + new.index(self.eos) + 1
+                out = out[:cut]
+                break
 
         return np.asarray(out[:max_new_tokens], np.int32)[None]
+
+    def _pick(self, logits, key) -> int:
+        if self.do_sample:
+            return int(jax.random.categorical(key, logits.astype(jnp.float32) / self.temperature))
+        return int(jnp.argmax(logits))

@@ -40,3 +40,23 @@ def test_spec_decode_weak_draft(setup):
     spec = SpeculativeGenerator(target, draft, cfg, k=3, cache_dtype=jnp.float32)
     out = spec.generate(prompt, max_new_tokens=24)
     np.testing.assert_array_equal(out[0], ref[0])
+
+
+def test_spec_decode_sampling_runs(setup):
+    cfg, target, draft, prompt, ref = setup
+    spec = SpeculativeGenerator(target, draft, cfg, k=3, cache_dtype=jnp.float32,
+                                do_sample=True, temperature=0.8, seed=3)
+    out = spec.generate(prompt, max_new_tokens=16)
+    assert out.shape == (1, 16)
+    assert (out >= 0).all() and (out < cfg.vocab_size).all()
+
+
+def test_spec_decode_eos_stops(setup):
+    cfg, target, draft, prompt, ref = setup
+    eos = int(ref[0][5])  # force an eos hit mid-stream
+    spec = SpeculativeGenerator(target, target, cfg, k=4, cache_dtype=jnp.float32,
+                                eos_token_id=eos)
+    out = spec.generate(prompt, max_new_tokens=24)
+    assert out[0][-1] == eos
+    assert len(out[0]) <= 24
+    np.testing.assert_array_equal(out[0], ref[0][: len(out[0])])
