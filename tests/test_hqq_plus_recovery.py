@@ -1,0 +1,53 @@
+# SPDX-License-Identifier: Apache-2.0
+"""HQQ+ quality recovery: LoRA adapters on a 2-bit base trained against the
+fp teacher's logits recover a large fraction of the quantization damage
+(the HQQ+ 1/2-bit recipe, ≙ reference hqq_plus example + blog)."""
+
+import numpy as np
+import optax
+import jax
+import jax.numpy as jnp
+
+from hqq_tpu.core.peft import PeftUtils, TrainableParams, lora_config
+from hqq_tpu.core.quantize import BaseQuantizeConfig
+from hqq_tpu.models import LlamaConfig, forward, init_params, quantize_model
+
+
+def test_distillation_recovers_2bit_quality(rng):
+    cfg = LlamaConfig.tiny(vocab_size=128)
+    fp = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q2 = quantize_model(fp, BaseQuantizeConfig(nbits=2, group_size=32),
+                        compute_dtype=jnp.float32)
+    lp = PeftUtils.add_lora(q2, lora_config(r=16, lora_alpha=16))
+    trainable = TrainableParams(lp)
+    vals = trainable.values()
+
+    def kl_to_teacher(train_vals, batch):
+        p = trainable.inject(train_vals, lp)
+        s_logits, _ = forward(p, cfg, batch)
+        t_logits, _ = forward(fp, cfg, batch)
+        t_prob = jax.nn.softmax(t_logits, axis=-1)
+        s_log = jax.nn.log_softmax(s_logits, axis=-1)
+        return -(t_prob * s_log).sum(-1).mean() - (
+            -(t_prob * jax.nn.log_softmax(t_logits, -1)).sum(-1).mean()
+        )
+
+    opt = optax.adamw(3e-3)
+    state = opt.init(vals)
+
+    @jax.jit
+    def step(vals, state, batch):
+        loss, grads = jax.value_and_grad(kl_to_teacher)(vals, batch)
+        updates, state = opt.update(grads, state, vals)
+        return optax.apply_updates(vals, updates), state, loss
+
+    batches = [jnp.asarray(rng.integers(0, 128, (8, 16)), jnp.int32)
+               for _ in range(100)]
+    kl0 = float(kl_to_teacher(vals, batches[0]))
+    for b in batches:
+        vals, state, loss = step(vals, state, b)
+    kl1 = float(kl_to_teacher(vals, batches[0]))
+    # rank-16 adapters on a RANDOM 2-bit model plateau around half the
+    # initial KL (real pretrained weights recover far more — the weight
+    # distribution is what LoRA exploits); assert a solid fraction here
+    assert kl1 < kl0 * 0.65, f"distillation failed to recover: {kl0} -> {kl1}"

@@ -168,3 +168,20 @@ def test_save_load_roundtrip(tiny, tmp_path):
     ql = params2["layers"][0]["self_attn"]["q_proj"]
     assert isinstance(ql, QuantLinear)
     assert ql.qweight.nbits == 4 and ql.qweight.group_size == 32
+
+
+def test_quantize_lm_head_optional(tiny):
+    """lm_head is skipped by default (reference behavior) but quantizes with
+    ignore=() — useful at 8-bit to cut decode head bytes."""
+    cfg, params = tiny
+    q = quantize_model(params, BaseQuantizeConfig(nbits=8, group_size=32),
+                       compute_dtype=jnp.float32, ignore=())
+    from hqq_tpu.models.base import iter_linears
+    heads = [l for p, l in iter_linears(q) if "lm_head" in p]
+    assert len(heads) == 1 and isinstance(heads[0], QuantLinear)
+    tokens = jnp.arange(6, dtype=jnp.int32).reshape(1, 6)
+    logits_fp, _ = forward(params, cfg, tokens)
+    logits_q, _ = forward(q, cfg, tokens)
+    rel = np.abs(np.asarray(logits_q) - np.asarray(logits_fp)).mean() / (
+        np.abs(np.asarray(logits_fp)).mean() + 1e-9)
+    assert rel < 0.05, rel
