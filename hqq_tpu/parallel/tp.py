@@ -81,9 +81,17 @@ class AllGatherLinear:
 
 
 def _to_fast(layer: Any, use_pallas: bool) -> Any:
-    """QuantLinear -> PallasQuantLinear when fusable."""
-    if use_pallas and isinstance(layer, QuantLinear) and supports_kernel_layout(layer.qweight):
-        return PallasQuantLinear(kqt=to_kernel_layout(layer.qweight), bias=layer.bias)
+    """QuantLinear -> a TP-shardable form.
+
+    Preferred: PallasQuantLinear (kernel layout shards cleanly along N/K).
+    Fallback: DENSE Linear from the dequantized weight — a replicated
+    QuantLinear cannot sit in a column/row-parallel position (its output
+    would stay global-sized while the rest of the layer runs on local
+    shards)."""
+    if isinstance(layer, QuantLinear):
+        if use_pallas and supports_kernel_layout(layer.qweight):
+            return PallasQuantLinear(kqt=to_kernel_layout(layer.qweight), bias=layer.bias)
+        return Linear(weight=layer.dequantize(), bias=layer.bias)
     return layer
 
 
@@ -117,12 +125,6 @@ def _layer_spec(layer: Any, mode: str):
             bspec = P()
         return dataclasses.replace(
             layer, kqt=kspec, bias=None if layer.bias is None else bspec
-        )
-    if isinstance(layer, QuantLinear):
-        # canonical layout cannot split packed rows: replicate (small)
-        qspec = dataclasses.replace(layer.qweight, wq=P(), scale=P(), zero=P())
-        return dataclasses.replace(
-            layer, qweight=qspec, bias=None if layer.bias is None else P()
         )
     if isinstance(layer, Linear):
         wspec = P("model", None) if mode == "col" else P(None, "model")

@@ -165,3 +165,39 @@ def test_phi_gspmd_tensor_parallel():
     with mesh:
         out, _ = jax.jit(lambda p, t: phi.forward(p, cfg, t))(sharded, tokens)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_tp_serving_gqa_70b_shape():
+    """shard_map TP with GQA head ratios like Llama-2-70B (nh=8x nkv): each
+    device gets nh/tp q heads and nkv/tp kv heads; logits match unsharded."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.models import LlamaConfig, init_cache, init_params, quantize_model
+    from hqq_tpu.models.llama import forward
+    from hqq_tpu.parallel import make_mesh, prepare_tp_llama, tp_forward_fn
+
+    # 70B-shaped ratios at toy size: 16 q heads, 2 kv heads (GQA 8:1), tp=2
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=16, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+    tokens = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
+    cache_ref = init_cache(cfg, 1, 16, jnp.float32)
+    ref, _ = forward(q, cfg, tokens, cache_ref, 0)
+
+    mesh = make_mesh(data=1, model=2)
+    tp_params, tp_specs, local_cfg = prepare_tp_llama(q, cfg, mesh, use_pallas=False)
+    assert local_cfg.num_attention_heads == 8
+    assert local_cfg.num_key_value_heads == 1
+    fwd = tp_forward_fn(mesh, tp_specs, local_cfg)
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    with mesh:
+        out, _ = fwd(tp_params, tokens, cache, 0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
