@@ -9,7 +9,7 @@ driven by `hqq_tpu.utils.patching.prepare_for_inference`."""
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 from flax import struct
 from jax import Array
@@ -23,7 +23,7 @@ from ..ops.fused_matmul import (
     to_kernel_layout,
 )
 
-__all__ = ["PallasQuantLinear", "patch_quantlinear_to_pallas"]
+__all__ = ["PallasQuantLinear", "PallasLoRAQuantLinear", "patch_quantlinear_to_pallas", "patch_lora_to_pallas"]
 
 
 @struct.dataclass
@@ -65,3 +65,51 @@ def patch_quantlinear_to_pallas(layer: QuantLinear) -> PallasQuantLinear | Quant
     if not supports_kernel_layout(layer.qweight):
         return layer
     return PallasQuantLinear(kqt=to_kernel_layout(layer.qweight), bias=layer.bias)
+
+
+@struct.dataclass
+class PallasLoRAQuantLinear:
+    """HQQ+ serving layer: fused dequant-matmul + LoRA epilogue in ONE Pallas
+    kernel (`ops.fused_matmul.quant_matmul_pallas_lora`). The adapter scaling
+    is folded into `b` at conversion time."""
+
+    kqt: Any
+    a: Any  # [K, r]
+    b: Any  # [r, N] (scaling folded)
+    bias: Optional[Any] = None
+
+    @property
+    def in_features(self) -> int:
+        return self.kqt.k
+
+    @property
+    def out_features(self) -> int:
+        return self.kqt.n
+
+    def __call__(self, x):
+        from ..ops.fused_matmul import quant_matmul_pallas_lora
+
+        out = quant_matmul_pallas_lora(x, self.kqt, self.a, self.b)
+        if self.bias is not None:
+            out = out + self.bias.astype(out.dtype)
+        return out
+
+
+def patch_lora_to_pallas(lora) -> "PallasLoRAQuantLinear | Any":
+    """LoRALinear(QuantLinear base) -> fused kernel module; returns the input
+    unchanged when the base isn't kernel-eligible."""
+    from ..nn.linear import QuantLinear
+    from ..ops.fused_matmul import supports_kernel_layout, to_kernel_layout
+
+    base = lora.base
+    if not (isinstance(base, QuantLinear) and supports_kernel_layout(base.qweight)):
+        return lora
+    bias = base.bias
+    if lora.bias is not None:
+        bias = lora.bias if bias is None else bias + lora.bias
+    return PallasLoRAQuantLinear(
+        kqt=to_kernel_layout(base.qweight),
+        a=lora.lora_a,
+        b=lora.lora_b * lora.scaling,
+        bias=bias,
+    )

@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.quantize import QTensor, resolve_meta, unpack_codes
 
-__all__ = ["KernelQTensor", "to_kernel_layout", "quant_matmul_pallas", "dequant_pallas"]
+__all__ = ["KernelQTensor", "to_kernel_layout", "quant_matmul_pallas", "quant_matmul_pallas_lora", "dequant_pallas"]
 
 # nbits (canonical) -> container bits used by the kernel layout
 _KERNEL_CONTAINER_BITS = {8: 8, 6: 8, 5: 8, 4: 4, 3: 4, 2: 2, 1.58: 2, 1: 1}
@@ -395,3 +395,138 @@ def dequant_pallas(kqt: KernelQTensor, interpret: Optional[bool] = None) -> Arra
         interpret=interpret,
     )
     return out[:k_logical]
+
+
+# ---------------------------------------------------------------------------
+# Fused dequant-matmul + LoRA epilogue (HQQ+ in ONE kernel):
+#     out = x @ W_dq + (x @ A) @ B
+# The rank-r partial (x @ A) accumulates alongside the main accumulator over
+# the K grid; the final K step applies B in the epilogue — the adapter never
+# costs a second pass over x (≙ BASELINE "low-rank adapters fused into
+# dequant-matmul"; the reference merges zeros into adapters instead,
+# `utils/patching.py:193-257`).
+# ---------------------------------------------------------------------------
+
+
+def _qmm_lora_kernel(
+    x_ref, wq_ref, scale_ref, zs_ref, a_ref, b_ref, out_ref, acc_ref, p_ref,
+    *, g, cb, out_dtype
+):
+    kidx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kidx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        p_ref[:] = jnp.zeros_like(p_ref)
+
+    tn = wq_ref.shape[-1]
+    c3 = _unpack_tile(wq_ref[:], g, cb, tn)
+    compute_dtype = scale_ref.dtype
+    w3 = c3.astype(compute_dtype) * scale_ref[:][:, None, :] - zs_ref[:][:, None, :]
+    w = w3.reshape(c3.shape[0] * g, tn)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w.astype(x_ref.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # rank-r partial: p += x_tile @ A_tile   (A blocked over K)
+    p_ref[:] += jax.lax.dot_general(
+        x_ref[:], a_ref[:].astype(x_ref.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kidx == nk - 1)
+    def _():
+        lora = jax.lax.dot_general(
+            p_ref[:].astype(jnp.float32), b_ref[:].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[:] = (acc_ref[:] + lora).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("container_bits", "group_size", "k", "n", "interpret"),
+)
+def _qmm_lora_call(
+    x, wq, scale, zs, a, b, *, container_bits, group_size, k, n, interpret=False
+):
+    g, cb = group_size, container_bits
+    r = 8 // cb
+    m = x.shape[0]
+    n_pad = wq.shape[1]
+    r_pad = a.shape[1]
+
+    tm = min(_round_up(m, 16), 256)
+    tn = min(n_pad, 256)
+    while n_pad % tn:
+        tn //= 2
+    tk = _pick_tile_k(k, g)
+    m_pad = _round_up(m, tm)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+
+    grid = (m_pad // tm, n_pad // tn, k // tk)
+    out = pl.pallas_call(
+        functools.partial(_qmm_lora_kernel, g=g, cb=cb, out_dtype=x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // r, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // g, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // g, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, r_pad), lambda i, j, kk: (kk, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_pad, tn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tm, tn), jnp.float32),
+            pltpu.VMEM((tm, r_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, wq, scale, zs, a, b)
+    return out[:m, :n]
+
+
+def quant_matmul_pallas_lora(
+    x: Array, kqt: KernelQTensor, a: Array, b: Array,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """`x @ W_dq + (x @ a) @ b` in one fused kernel.
+
+    a: [K, r] (K = kqt logical in-features), b: [r, N]. Scaling must already
+    be folded into `b`. r is padded to 128 lanes internally.
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    g = kqt.group_size
+    k_arr = kqt.wq.shape[0] * kqt.r
+    n_arr = kqt.wq.shape[1]
+    k_store_global = _round_up(kqt.k, 8 * g) if kqt.k > 8 * g else kqt.k
+    is_global = k_arr == k_store_global and n_arr == _round_up(kqt.n, 128)
+    k_logical = kqt.k if is_global else k_arr
+    n = kqt.n if is_global else n_arr
+
+    r_pad = _round_up(a.shape[1], 128)
+    a_p = jnp.zeros((k_arr, r_pad), jnp.float32).at[: a.shape[0], : a.shape[1]].set(
+        a.astype(jnp.float32)
+    )
+    b_p = jnp.zeros((r_pad, n_arr), jnp.float32).at[: b.shape[0], : b.shape[1]].set(
+        b.astype(jnp.float32)
+    )
+
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, k_logical)
+    if k_arr != k_logical:
+        x2 = jnp.pad(x2, ((0, 0), (0, k_arr - k_logical)))
+    out = _qmm_lora_call(
+        x2, kqt.wq, kqt.scale, kqt.zs, a_p, b_p,
+        container_bits=kqt.container_bits, group_size=kqt.group_size,
+        k=k_arr, n=n, interpret=interpret,
+    )
+    return out.reshape(*lead, n)

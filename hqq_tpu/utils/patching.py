@@ -69,6 +69,15 @@ def prepare_for_inference(params: Any, backend="pallas", verbose: bool = False) 
         if isinstance(node, list):
             return [convert(v, f"{path}.{i}" if path else str(i)) for i, v in enumerate(node)]
         if isinstance(node, LoRALinear):
+            if (per_tag and backend.get(name_to_linear_tag(path)) == "pallas") or (
+                not per_tag and backend == "pallas"
+            ):
+                from ..backends.pallas_backend import patch_lora_to_pallas
+
+                fused = patch_lora_to_pallas(node)
+                if fused is not node:
+                    stats["converted"] += 1
+                    return fused
             return dataclasses.replace(node, base=convert(node.base, path))
         if isinstance(node, QuantLinear):
             b = backend.get(name_to_linear_tag(path), "xla") if per_tag else backend

@@ -92,3 +92,36 @@ def test_prepare_for_inference_per_tag():
     rel = np.abs(np.asarray(l_mix) - np.asarray(l_ref)).mean() / (
         np.abs(np.asarray(l_ref)).mean() + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_fused_lora_pallas_backend(rng):
+    """HQQ+ serving: LoRALinear(QuantLinear) converts to ONE fused
+    dequant+matmul+LoRA kernel with identical outputs."""
+    import dataclasses as dc
+
+    from hqq_tpu.backends.pallas_backend import PallasLoRAQuantLinear
+    from hqq_tpu.core.peft import LoRALinear, PeftUtils, lora_config
+
+    cfg = LlamaConfig.tiny()
+    q = quantize_model(init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32),
+                       BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+    lp = PeftUtils.add_lora(q, lora_config(r=4))
+
+    def bump(node):  # nonzero B so the adapter contributes
+        if isinstance(node, dict):
+            return {k: bump(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [bump(v) for v in node]
+        if isinstance(node, LoRALinear):
+            return dc.replace(node, lora_b=jnp.ones_like(node.lora_b) * 0.01)
+        return node
+
+    lp = bump(lp)
+    fused = prepare_for_inference(lp, backend="pallas")
+    assert isinstance(fused["layers"][0]["self_attn"]["q_proj"], PallasLoRAQuantLinear)
+
+    tok = jnp.asarray([[1, 2, 3]], jnp.int32)
+    ref, _ = forward(lp, cfg, tok)
+    out, _ = forward(fused, cfg, tok)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
