@@ -51,3 +51,41 @@ def test_distillation_recovers_2bit_quality(rng):
     # initial KL (real pretrained weights recover far more — the weight
     # distribution is what LoRA exploits); assert a solid fraction here
     assert kl1 < kl0 * 0.65, f"distillation failed to recover: {kl0} -> {kl1}"
+
+
+def test_1bit_hqq_plus_flow(rng):
+    """1-bit base + LoRA (BASELINE config 4): quantize at nbits=1, adapters
+    train, merge-and-requantize keeps 1-bit, fused pallas serving works."""
+    import dataclasses as dc
+
+    from hqq_tpu.backends.pallas_backend import PallasLoRAQuantLinear
+    from hqq_tpu.core.peft import LoRALinear
+    from hqq_tpu.utils.patching import prepare_for_inference
+
+    cfg = LlamaConfig.tiny(vocab_size=64)
+    fp = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    q1 = quantize_model(fp, BaseQuantizeConfig(nbits=1, group_size=32),
+                        compute_dtype=jnp.float32)
+    lp = PeftUtils.add_lora(q1, lora_config(r=8, lora_alpha=8))
+
+    # one training step moves the adapters
+    trainable = TrainableParams(lp)
+    vals = trainable.values()
+    from hqq_tpu.utils.training import make_lora_train_step
+    opt = optax.adamw(1e-3)
+    step = make_lora_train_step(cfg, trainable, opt)
+    batch = jnp.asarray(rng.integers(0, 64, (2, 8)), jnp.int32)
+    vals, _, loss = step(vals, opt.init(vals), lp, batch)
+    assert np.isfinite(float(loss))
+    lp = trainable.inject(vals, lp)
+
+    # fused serving of the adapted 1-bit model
+    fused = prepare_for_inference(lp, backend="pallas")
+    assert isinstance(fused["layers"][0]["self_attn"]["q_proj"],
+                      (PallasLoRAQuantLinear, LoRALinear))
+    logits, _ = forward(fused, cfg, batch[:1])
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # merge back and requantize at 1-bit
+    merged = PeftUtils.merge_lora(lp, BaseQuantizeConfig(nbits=1, group_size=32))
+    assert merged["layers"][0]["self_attn"]["q_proj"].qweight.nbits == 1

@@ -185,3 +185,18 @@ def test_quantize_lm_head_optional(tiny):
     rel = np.abs(np.asarray(logits_q) - np.asarray(logits_fp)).mean() / (
         np.abs(np.asarray(logits_fp)).mean() + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_quantize_model_axis0(tiny):
+    """Quality-mode grouping (axis=0, BASELINE config 3): model-level config
+    with axis=0 quantizes and serves through the XLA backend."""
+    cfg, params = tiny
+    q = quantize_model(params, BaseQuantizeConfig(nbits=3, group_size=32, axis=0),
+                       compute_dtype=jnp.float32)
+    from hqq_tpu.models.base import iter_linears
+    for path, layer in iter_linears(q):
+        if "lm_head" not in path:
+            assert layer.qweight.axis == 0, path
+    tokens = jnp.arange(6, dtype=jnp.int32).reshape(1, 6)
+    logits, _ = forward(q, cfg, tokens)
+    assert np.isfinite(np.asarray(logits)).all()
