@@ -139,11 +139,17 @@ def quantize_model(
     out = patch_linears(params, quantize_leaf)
     if bar is not None:
         bar.close()
+    from ..utils.profiling import log_event
+
+    log_event("quantize_model", tags=list(patch_params), n_linears=len(it))
     return out
 
 
 def save_quantized(params: Any, save_dir: str, config: Optional[dict] = None) -> None:
     """≙ `BaseHQQModel.save_quantized` (ref `models/base.py:424-434`)."""
+    from ..utils.profiling import log_event
+
+    log_event("save_quantized", save_dir=save_dir)
     save_checkpoint(save_dir, params, config=config)
 
 
