@@ -122,10 +122,14 @@ def main():
         steps, cache_len = 8, 64
 
     t0 = time.time()
-    params = build_quantized_llama(cfg, nbits=4, group_size=64)
-    from hqq_tpu.utils.patching import fuse_for_decode
+    try:
+        params = build_quantized_llama(cfg, nbits=4, group_size=64, backend="int8")
+        from hqq_tpu.utils.patching import fuse_for_decode
 
-    params = fuse_for_decode(params)  # one wide qkv / gate_up matmul per block
+        params = fuse_for_decode(params)  # one wide qkv/gate_up matmul per block
+    except Exception as e:  # noqa: BLE001 — never lose the benchmark to a backend issue
+        print(f"# int8 decode path failed ({e!r}); falling back to pallas", file=sys.stderr)
+        params = build_quantized_llama(cfg, nbits=4, group_size=64, backend="pallas")
     jax.block_until_ready(params["norm"])
     print(f"# built+quantized model in {time.time()-t0:.1f}s", file=sys.stderr)
 
