@@ -108,10 +108,17 @@ class ContinuousBatchingEngine:
 
     # -- public API -----------------------------------------------------------
     def add_request(self, prompt_ids, max_new_tokens: int = 128) -> int:
+        prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
+        t_pad = next_power_of_2(max(len(prompt), 2))
+        if t_pad + max_new_tokens > self.max_len:
+            raise ValueError(
+                f"prompt ({len(prompt)} tokens, padded {t_pad}) + "
+                f"max_new_tokens ({max_new_tokens}) exceeds max_len={self.max_len}"
+            )
         self._uid += 1
         req = Request(
             uid=self._uid,
-            prompt=np.asarray(prompt_ids, np.int32).reshape(-1),
+            prompt=prompt,
             max_new_tokens=max_new_tokens,
         )
         self.queue.append(req)

@@ -345,13 +345,17 @@ class PagedBatchingEngine:
 
     # -- host-side scheduling --------------------------------------------------
     def add_request(self, prompt_ids, max_new_tokens: int = 128) -> int:
+        prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
+        t_pad = next_power_of_2(max(len(prompt), 2))
+        need = -(-(len(prompt) + max_new_tokens) // self.pg)
+        if need > self.mp or -(-t_pad // self.pg) > self.mp:
+            raise ValueError(
+                f"request needs {need} pages (> max_pages_per_seq={self.mp}); "
+                f"raise max_pages_per_seq or shorten prompt/max_new_tokens"
+            )
         self._uid += 1
         self.queue.append(
-            Request(
-                uid=self._uid,
-                prompt=np.asarray(prompt_ids, np.int32).reshape(-1),
-                max_new_tokens=max_new_tokens,
-            )
+            Request(uid=self._uid, prompt=prompt, max_new_tokens=max_new_tokens)
         )
         return self._uid
 

@@ -87,3 +87,27 @@ def test_eos_stops(model):
     out = eng.run()
     assert out[uid][-1] == eos or len(out[uid]) == 12
     assert len(out[uid]) <= 12
+
+
+def test_engine_rejects_oversized_request():
+    import pytest as _pytest
+
+    import jax
+    import jax.numpy as jnp
+
+    from hqq_tpu.models import LlamaConfig, init_params
+
+    cfg = LlamaConfig.tiny(vocab_size=64)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    eng = ContinuousBatchingEngine(params, cfg, batch_slots=1, max_len=32,
+                                   cache_dtype=jnp.float32)
+    with _pytest.raises(ValueError):
+        eng.add_request(list(range(1, 30)), max_new_tokens=20)
+
+    from hqq_tpu.serving.paged import PagedBatchingEngine
+
+    p = PagedBatchingEngine(params, cfg, batch_slots=1, num_pages=16,
+                            page_size=8, max_pages_per_seq=4,
+                            cache_dtype=jnp.float32)
+    with _pytest.raises(ValueError):
+        p.add_request(list(range(1, 30)), max_new_tokens=20)
