@@ -76,6 +76,16 @@ def _register_qwen2():
     }
 
 
+def _register_qwen3():
+    # Qwen3: Llama-shaped + per-head q/k RMSNorm (picked up by the loader,
+    # applied in llama._attention when present), no attention biases.
+    _HQQ_REGISTRY["qwen3"] = {
+        "config": llama.LlamaConfig.from_hf,
+        "forward": llama.forward,
+        "loader": hf_loader.params_from_hf_state_dict,
+    }
+
+
 def _register_gemma():
     from ..models import gemma as gemma_mod
 
@@ -89,6 +99,7 @@ def _register_gemma():
 _register_mistral()
 _register_phi()
 _register_qwen2()
+_register_qwen3()
 _register_gemma()
 
 

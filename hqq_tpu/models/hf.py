@@ -66,14 +66,19 @@ def params_from_hf_state_dict(
     layers = []
     for i in range(cfg.num_hidden_layers):
         p = f"model.layers.{i}"
+        sa = {
+            "q_proj": lin(f"{p}.self_attn.q_proj"),
+            "k_proj": lin(f"{p}.self_attn.k_proj"),
+            "v_proj": lin(f"{p}.self_attn.v_proj"),
+            "o_proj": lin(f"{p}.self_attn.o_proj"),
+        }
+        # Qwen3-style per-head q/k norms, when present
+        if f"{p}.self_attn.q_norm.weight" in state:
+            sa["q_norm"] = arr(f"{p}.self_attn.q_norm.weight")
+            sa["k_norm"] = arr(f"{p}.self_attn.k_norm.weight")
         layers.append(
             {
-                "self_attn": {
-                    "q_proj": lin(f"{p}.self_attn.q_proj"),
-                    "k_proj": lin(f"{p}.self_attn.k_proj"),
-                    "v_proj": lin(f"{p}.self_attn.v_proj"),
-                    "o_proj": lin(f"{p}.self_attn.o_proj"),
-                },
+                "self_attn": sa,
                 "mlp": {
                     "gate_proj": lin(f"{p}.mlp.gate_proj"),
                     "up_proj": lin(f"{p}.mlp.up_proj"),

@@ -301,6 +301,9 @@ def _attention_nocache(
     q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    if "q_norm" in layer:
+        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
 
@@ -346,6 +349,10 @@ def _attention(
     q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+
+    if "q_norm" in layer:  # Qwen3-style per-head q/k RMSNorm (pre-RoPE)
+        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
 
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
