@@ -63,6 +63,7 @@ class ContinuousBatchingEngine:
         cache_dtype=jnp.bfloat16,
         forward_fn: Optional[Callable] = None,
         seed: int = 0,
+        horizon: int = 1,
     ):
         self.params = params
         self.cfg = cfg
@@ -88,8 +89,15 @@ class ContinuousBatchingEngine:
         self._pos = np.zeros((batch_slots,), np.int32)  # write position
         self._live = np.zeros((batch_slots,), bool)
 
+        # decode `horizon` steps per device call — amortizes host-dispatch
+        # latency (huge over remote links; real hosts gain too). Finished
+        # slots keep decoding masked garbage inside a horizon; their stale KV
+        # is position-masked and overwritten on re-admission, so results are
+        # identical to horizon=1.
+        self.horizon = max(1, int(horizon))
         self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("t_pad",))
         self._decode_jit = jax.jit(self._decode_impl)
+        self._horizon_jit = jax.jit(self._decode_horizon_impl, static_argnames=("steps",))
 
     # -- jitted kernels ------------------------------------------------------
     def _prefill_impl(self, params, tokens, mini_cache, *, t_pad):
@@ -105,6 +113,23 @@ class ContinuousBatchingEngine:
             logits[:, -1], sub, self.do_sample, self.top_k, self.temperature
         )
         return nxt.astype(jnp.int32), cache, key
+
+    def _decode_horizon_impl(self, params, tokens, cache, pos, key, *, steps):
+        """`steps` decode steps for all slots inside ONE device program."""
+
+        def body(carry, _):
+            tok, cache, pos, key = carry
+            logits, cache = self._fwd(params, tok[:, None], cache, pos)
+            key, sub = jax.random.split(key)
+            nxt = sample_token(
+                logits[:, -1], sub, self.do_sample, self.top_k, self.temperature
+            ).astype(jnp.int32)
+            return (nxt, cache, pos + 1, key), nxt
+
+        (tok, cache, pos, key), toks = jax.lax.scan(
+            body, (tokens, cache, pos, key), None, length=steps
+        )
+        return toks, cache, key  # toks: [steps, slots]
 
     # -- public API -----------------------------------------------------------
     def add_request(self, prompt_ids, max_new_tokens: int = 128) -> int:
@@ -175,25 +200,47 @@ class ContinuousBatchingEngine:
                 self._admit(slot, self.queue.popleft())
 
     def step(self) -> int:
-        """Admit pending requests, run one decode step. Returns #active."""
+        """Admit pending requests, run one decode horizon. Returns #active."""
         self._schedule()
         if not self.active:
             return 0
-        nxt, self.cache, self._key = self._decode_jit(
-            self.params,
-            jnp.asarray(self._tokens),
-            self.cache,
-            jnp.asarray(self._pos),
-            jnp.asarray(self._live),
-            self._key,
-        )
-        nxt = np.asarray(nxt)
+
+        # horizon capped so no live slot can run past its cache
+        h = self.horizon
+        if h > 1:
+            max_pos = max(int(self._pos[s]) for s in self.active)
+            h = max(1, min(h, self.max_len - 1 - max_pos))
+
+        if h == 1:
+            nxt, self.cache, self._key = self._decode_jit(
+                self.params,
+                jnp.asarray(self._tokens),
+                self.cache,
+                jnp.asarray(self._pos),
+                jnp.asarray(self._live),
+                self._key,
+            )
+            toks = np.asarray(nxt)[None]  # [1, slots]
+        else:
+            toks, self.cache, self._key = self._horizon_jit(
+                self.params,
+                jnp.asarray(self._tokens),
+                self.cache,
+                jnp.asarray(self._pos),
+                self._key,
+                steps=h,
+            )
+            toks = np.asarray(toks)
+
         for slot in list(self.active):
-            req = self.active[slot]
-            req.output.append(int(nxt[slot]))
-            self._tokens[slot] = int(nxt[slot])
-            self._pos[slot] += 1
-            self._maybe_finish(slot)
+            for j in range(toks.shape[0]):
+                req = self.active.get(slot)
+                if req is None:
+                    break  # finished mid-horizon; drop remaining tokens
+                req.output.append(int(toks[j, slot]))
+                self._tokens[slot] = int(toks[j, slot])
+                self._pos[slot] += 1
+                self._maybe_finish(slot)
         return len(self.active)
 
     def run(self) -> Dict[int, List[int]]:

@@ -111,3 +111,30 @@ def test_engine_rejects_oversized_request():
                             cache_dtype=jnp.float32)
     with _pytest.raises(ValueError):
         p.add_request(list(range(1, 30)), max_new_tokens=20)
+
+
+def test_horizon_stepping_matches_single_step(rng):
+    """horizon=4 produces identical outputs to horizon=1 (greedy)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.models import LlamaConfig, init_params, quantize_model
+
+    cfg = LlamaConfig.tiny(vocab_size=256)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+    prompts = [list(rng.integers(1, 256, (int(n),))) for n in (5, 11, 8)]
+
+    e1 = ContinuousBatchingEngine(q, cfg, batch_slots=2, max_len=64,
+                                  cache_dtype=jnp.float32, horizon=1)
+    e4 = ContinuousBatchingEngine(q, cfg, batch_slots=2, max_len=64,
+                                  cache_dtype=jnp.float32, horizon=4)
+    for p in prompts:
+        e1.add_request(p, max_new_tokens=11)
+        e4.add_request(p, max_new_tokens=11)
+    r1, r4 = e1.run(), e4.run()
+    assert set(r1) == set(r4)
+    for uid in r1:
+        assert r1[uid] == r4[uid], (uid, r1[uid], r4[uid])
