@@ -294,6 +294,7 @@ class PagedBatchingEngine:
         cache_dtype=jnp.bfloat16,
         quantize_kv: bool = False,
         seed: int = 0,
+        horizon: int = 1,
     ):
         self.params = params
         self.cfg = cfg
@@ -328,7 +329,9 @@ class PagedBatchingEngine:
         self._pos = np.zeros((batch_slots,), np.int32)
         self._live = np.zeros((batch_slots,), bool)
 
+        self.horizon = max(1, int(horizon))
         self._decode_jit = jax.jit(self._decode_impl)
+        self._horizon_jit = jax.jit(self._decode_horizon_impl, static_argnames=("steps",))
         self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("t_pad",))
 
     # -- jitted kernels ------------------------------------------------------
@@ -342,6 +345,26 @@ class PagedBatchingEngine:
         key, sub = jax.random.split(key)
         nxt = sample_token(logits, sub, self.do_sample, self.top_k, self.temperature)
         return nxt.astype(jnp.int32), cache, key
+
+    def _decode_horizon_impl(self, params, tokens, cache, lengths, page_tab, key, *, steps):
+        """`steps` paged decode steps in ONE device program (host-latency
+        amortization, same trick as the dense engine's horizon)."""
+
+        def body(carry, _):
+            tok, cache, lengths, key = carry
+            logits, cache = paged_decode_step(
+                params, self.cfg, tok, cache, lengths, page_tab
+            )
+            key, sub = jax.random.split(key)
+            nxt = sample_token(
+                logits, sub, self.do_sample, self.top_k, self.temperature
+            ).astype(jnp.int32)
+            return (nxt, cache, lengths + 1, key), nxt
+
+        (tok, cache, lengths, key), toks = jax.lax.scan(
+            body, (tokens, cache, lengths, key), None, length=steps
+        )
+        return toks, cache, key
 
     # -- host-side scheduling --------------------------------------------------
     def add_request(self, prompt_ids, max_new_tokens: int = 128) -> int:
@@ -430,21 +453,49 @@ class PagedBatchingEngine:
         self._schedule()
         if not self.active:
             return 0
-        nxt, self.cache, self._key = self._decode_jit(
-            self.params,
-            jnp.asarray(self._tokens),
-            self.cache,
-            jnp.asarray(self._pos),
-            jnp.asarray(self._page_tab),
-            self._key,
-        )
-        nxt = np.asarray(nxt)
+
+        # full horizon only if every live slot has page room (avoid a
+        # per-h recompile zoo: h is either `horizon` or 1)
+        h = self.horizon
+        if h > 1:
+            room = min(
+                len(self.slot_pages[s]) * self.pg - int(self._pos[s])
+                for s in self.active
+            )
+            if room < h + 1:
+                h = 1
+
+        if h == 1:
+            nxt, self.cache, self._key = self._decode_jit(
+                self.params,
+                jnp.asarray(self._tokens),
+                self.cache,
+                jnp.asarray(self._pos),
+                jnp.asarray(self._page_tab),
+                self._key,
+            )
+            toks = np.asarray(nxt)[None]
+        else:
+            toks, self.cache, self._key = self._horizon_jit(
+                self.params,
+                jnp.asarray(self._tokens),
+                self.cache,
+                jnp.asarray(self._pos),
+                jnp.asarray(self._page_tab),
+                self._key,
+                steps=h,
+            )
+            toks = np.asarray(toks)
+
         for slot in list(self.active):
-            req = self.active[slot]
-            req.output.append(int(nxt[slot]))
-            self._tokens[slot] = int(nxt[slot])
-            self._pos[slot] += 1
-            self._maybe_finish(slot)
+            for j in range(toks.shape[0]):
+                req = self.active.get(slot)
+                if req is None:
+                    break
+                req.output.append(int(toks[j, slot]))
+                self._tokens[slot] = int(toks[j, slot])
+                self._pos[slot] += 1
+                self._maybe_finish(slot)
         return len(self.active)
 
     def run(self) -> Dict[int, List[int]]:

@@ -102,3 +102,22 @@ def test_paged_engine_quantized_kv_close_to_fp(rng):
             total += 1
             same += int(a == b)
     assert same / total > 0.5, (same, total)
+
+
+def test_paged_horizon_matches_single_step(rng):
+    cfg = LlamaConfig.tiny(vocab_size=512)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+    prompts = [list(rng.integers(1, 512, (int(n),))) for n in (5, 11, 8)]
+
+    kw = dict(batch_slots=2, num_pages=64, page_size=8, max_pages_per_seq=8,
+              cache_dtype=jnp.float32)
+    e1 = PagedBatchingEngine(q, cfg, horizon=1, **kw)
+    e4 = PagedBatchingEngine(q, cfg, horizon=4, **kw)
+    for p in prompts:
+        e1.add_request(p, max_new_tokens=10)
+        e4.add_request(p, max_new_tokens=10)
+    r1, r4 = e1.run(), e4.run()
+    for uid in r1:
+        assert r1[uid] == r4[uid], (uid, r1[uid], r4[uid])
