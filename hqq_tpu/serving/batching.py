@@ -173,6 +173,9 @@ class ContinuousBatchingEngine:
         first = sample_token(
             logits[:, t - 1], sub, self.do_sample, self.top_k, self.temperature
         )
+        from ..utils.profiling import log_event
+
+        log_event("request_admitted", uid=req.uid, slot=slot, prompt_len=t)
         req.slot = slot
         req.output = [int(first[0])]
         self.active[slot] = req
@@ -189,6 +192,10 @@ class ContinuousBatchingEngine:
         if (self.eos is not None and last == self.eos) or len(
             req.output
         ) >= req.max_new_tokens or int(self._pos[slot]) >= self.max_len - 1:
+            from ..utils.profiling import log_event
+
+            log_event("request_finished", uid=req.uid, slot=slot,
+                      n_tokens=len(req.output))
             req.done = True
             self.finished[req.uid] = req
             del self.active[slot]
