@@ -57,14 +57,21 @@ class PallasQuantLinear:
         return w_t.T.astype(dtype if dtype is not None else self.compute_dtype)
 
 
-def patch_quantlinear_to_pallas(layer: QuantLinear) -> PallasQuantLinear | QuantLinear:
+def patch_quantlinear_to_pallas(
+    layer: QuantLinear, meta_dtype=None
+) -> PallasQuantLinear | QuantLinear:
     """Convert a `QuantLinear` to the fused Pallas backend; returns the layer
     unchanged when its config is not fusable (axis=0, exotic group sizes) —
     same graceful-fallback contract as the reference's backend patching
     (`/root/reference/hqq/utils/patching.py:129-177`)."""
     if not supports_kernel_layout(layer.qweight):
         return layer
-    return PallasQuantLinear(kqt=to_kernel_layout(layer.qweight), bias=layer.bias)
+    import jax.numpy as jnp
+
+    md = meta_dtype if meta_dtype is not None else jnp.float32
+    return PallasQuantLinear(
+        kqt=to_kernel_layout(layer.qweight, meta_dtype=md), bias=layer.bias
+    )
 
 
 @struct.dataclass

@@ -110,12 +110,18 @@ def supports_kernel_layout(qt: QTensor) -> bool:
     return k % g == 0 and g % r == 0 and g % 8 == 0
 
 
-def to_kernel_layout(qt: QTensor) -> KernelQTensor:
+def to_kernel_layout(qt: QTensor, meta_dtype=jnp.float32) -> KernelQTensor:
     """Convert a canonical group-space `QTensor` (axis=1) to kernel layout.
 
     ≙ the repacking the reference backends do at `prepare_for_inference`
     time (`/root/reference/hqq/backends/torchao.py:201-241`,
     `backends/bitblas.py:60-116`) — a one-time, jit-free transformation.
+
+    meta_dtype: storage dtype for scale/zs. fp32 (default) dequantizes with
+    full precision. bf16 halves meta MEMORY (useful when squeezing a model
+    onto a chip) but measured ~30% SLOWER decode on v5e — Mosaic's bf16
+    broadcast-multiply path underperforms fp32 — so it is a footprint
+    option, not a speed option.
     """
     assert supports_kernel_layout(qt), (
         "kernel layout requires axis=1 grouped quantization with "
@@ -148,12 +154,10 @@ def to_kernel_layout(qt: QTensor) -> KernelQTensor:
 
     wq = _pack_kernel_layout(codes_kn, g, cb)
     dtype = qt.compute_dtype
-    # scale/zs stay fp32: dequant precision matches the XLA path (fp32 affine,
-    # then cast to compute dtype) at negligible bandwidth cost (1/g of wq).
     return KernelQTensor(
         wq=wq,
-        scale=scale_kn,
-        zs=(zero_kn * scale_kn),
+        scale=scale_kn.astype(meta_dtype),
+        zs=(zero_kn * scale_kn).astype(meta_dtype),
         nbits=qt.nbits,
         container_bits=cb,
         group_size=g,
