@@ -8,3 +8,4 @@ from .tp import (  # noqa: F401
     tp_forward_fn,
 )
 from .ring import ring_attention, ring_attention_sharded  # noqa: F401
+from .cp import cp_forward_fn  # noqa: F401

@@ -34,3 +34,28 @@ def test_ring_attention_matches_full(n_dev, rng):
     with mesh:
         out = ring_attention_sharded(mesh, q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_context_parallel_forward_matches_unsharded(rng):
+    """Full-model context-parallel prefill (sequence sharded over the mesh,
+    ring attention) == single-device forward, on a quantized model."""
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.models import LlamaConfig, init_params, quantize_model
+    from hqq_tpu.models.llama import forward
+    from hqq_tpu.parallel.cp import cp_forward_fn
+
+    cfg = LlamaConfig.tiny(vocab_size=256)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+
+    t = 64
+    tokens = jnp.asarray(rng.integers(1, 256, (2, t)), jnp.int32)
+    ref, _ = forward(q, cfg, tokens)
+
+    mesh = make_mesh(data=1, model=8)
+    fwd = cp_forward_fn(mesh, cfg)
+    with mesh:
+        out = fwd(q, tokens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
