@@ -29,6 +29,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: verified working over the axon tunnel
+# (13.6s -> 1.4s across processes); makes repeat bench/driver runs cheap.
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 HBM_BW = {  # bytes/s per chip
     "TPU v5 lite": 819e9,  # v5e
     "TPU v4": 1228e9,
