@@ -42,12 +42,22 @@ def sample_token(
     do_sample: bool,
     top_k: int,
     temperature: float,
+    top_p: float = 1.0,
 ) -> Array:
-    """Greedy or top-k gumbel sampling (≙ ref `generation_hf.py:268-289`)."""
+    """Greedy or top-k (+ optional nucleus/top-p) gumbel sampling
+    (≙ ref `generation_hf.py:268-289`; top-p is beyond the reference)."""
     if not do_sample:
         return jnp.argmax(logits, axis=-1)
     logits = logits / jnp.maximum(temperature, 1e-5)
     vals, idxs = jax.lax.top_k(logits, top_k)
+    if top_p < 1.0:
+        # nucleus filter within the top-k candidates (already sorted desc)
+        probs = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens whose CDF up to (and incl.) them minus own prob < top_p;
+        # the first token is always kept
+        keep = (cum - probs) < top_p
+        vals = jnp.where(keep, vals, jnp.finfo(vals.dtype).min)
     g = jax.random.gumbel(key, vals.shape, dtype=vals.dtype)
     choice = jnp.argmax(vals + g, axis=-1)
     return jnp.take_along_axis(idxs, choice[..., None], axis=-1)[..., 0]
@@ -70,6 +80,7 @@ class Generator:
         do_sample: bool = False,
         top_k: int = 20,
         temperature: float = 0.6,
+        top_p: float = 1.0,
         eos_token_id: Optional[int] = None,
         compile_mode: str = "full",  # "full": whole decode loop on device
         forward_fn: Optional[Callable] = None,
@@ -82,6 +93,7 @@ class Generator:
         self.do_sample = do_sample
         self.top_k = top_k
         self.temperature = temperature
+        self.top_p = top_p
         self.eos_token_id = eos_token_id
         self.compile_mode = compile_mode
         self.cache_len = cache_len
@@ -101,7 +113,8 @@ class Generator:
     # -- decode ------------------------------------------------------------
     def _sample(self, logits: Array, key: Array) -> Array:
         return sample_token(
-            logits, key, self.do_sample, self.top_k, self.temperature
+            logits, key, self.do_sample, self.top_k, self.temperature,
+            self.top_p,
         )
 
     def _decode_step_impl(self, params, tok, cache, pos, key):

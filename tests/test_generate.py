@@ -73,3 +73,23 @@ def test_eos_truncation(model):
     out = g_eos.generate([[5, 6]], max_new_tokens=10)
     assert out.shape[1] <= 10
     assert int(out[0, -1]) == eos or out.shape[1] == 10
+
+
+def test_top_p_sampling(rng):
+    """top-p filters the candidate set: with a peaked distribution and tiny
+    top_p, sampling collapses to the argmax."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hqq_tpu.serving.generate import sample_token
+
+    logits = jnp.asarray([[10.0, 1.0, 0.5, 0.1, -1.0]])
+    for seed in range(8):
+        tok = sample_token(logits, jax.random.PRNGKey(seed), True, 5, 1.0, top_p=0.5)
+        assert int(tok[0]) == 0
+    # top_p=1.0 keeps full top-k behavior (can pick others)
+    picks = {int(sample_token(jnp.asarray([[1.0, 1.0, 1.0, 1.0, 1.0]]),
+                              jax.random.PRNGKey(s), True, 5, 1.0, top_p=1.0)[0])
+             for s in range(24)}
+    assert len(picks) > 1
