@@ -138,3 +138,29 @@ def test_horizon_stepping_matches_single_step(rng):
     assert set(r1) == set(r4)
     for uid in r1:
         assert r1[uid] == r4[uid], (uid, r1[uid], r4[uid])
+
+
+def test_engine_with_mixtral_forward(rng):
+    """The batching engine is model-agnostic via forward_fn (MoE decode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.models import mixtral
+
+    cfg = mixtral.MixtralConfig.tiny(vocab_size=256)
+    params = mixtral.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q = mixtral.quantize_mixtral(
+        params,
+        attn_config=BaseQuantizeConfig(nbits=4, group_size=32),
+        expert_config=BaseQuantizeConfig(nbits=4, group_size=32),
+        compute_dtype=jnp.float32,
+    )
+    eng = ContinuousBatchingEngine(
+        q, cfg, batch_slots=2, max_len=64, cache_dtype=jnp.float32,
+        forward_fn=lambda p, t, c, s: mixtral.forward(p, cfg, t, c, s),
+    )
+    for n in (5, 9, 7):
+        eng.add_request(list(rng.integers(1, 256, (n,))), max_new_tokens=6)
+    res = eng.run()
+    assert len(res) == 3 and all(len(v) == 6 for v in res.values())
