@@ -30,7 +30,7 @@ from typing import Any, Callable, Optional
 import numpy as np
 import jax
 
-__all__ = ["trace", "benchmark", "roofline_report", "EventLog", "hbm_bandwidth"]
+__all__ = ["trace", "benchmark", "roofline_report", "EventLog", "hbm_bandwidth", "debug_numerics"]
 
 # chip kind -> HBM bytes/s (public specs)
 _HBM_BW = {
@@ -147,3 +147,20 @@ default_log = EventLog(path=None if _env in (None, "", "1") else _env) if _env e
 def log_event(event: str, **fields) -> None:
     if default_log is not None:
         default_log.emit(event, **fields)
+
+
+@contextlib.contextmanager
+def debug_numerics(disable_jit: bool = False):
+    """Numerical-debugging context: raises on NaN/Inf production
+    (jax_debug_nans) and optionally runs op-by-op (jax_disable_jit) so the
+    failing primitive is attributable. The closest TPU analogue to the
+    sanitizer/race tooling the reference lacks entirely (SURVEY §5.2)."""
+    jax.config.update("jax_debug_nans", True)
+    if disable_jit:
+        jax.config.update("jax_disable_jit", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", False)
+        if disable_jit:
+            jax.config.update("jax_disable_jit", False)

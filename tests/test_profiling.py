@@ -36,3 +36,15 @@ def test_event_log(tmp_path):
     lines = [json.loads(l) for l in open(path)]
     assert len(lines) == 2
     assert lines[0]["event"] == "quantize_start" and lines[0]["nbits"] == 4
+
+
+def test_debug_numerics_catches_nan():
+    import pytest as _pytest
+
+    from hqq_tpu.utils.profiling import debug_numerics
+
+    with debug_numerics():
+        with _pytest.raises(FloatingPointError):
+            jax.block_until_ready(jnp.log(jnp.zeros(4)) * 0 / 0)
+    # config restored
+    assert not jax.config.jax_debug_nans
