@@ -200,26 +200,21 @@ def paged_decode_step(
         q = llama._apply_rope(q, cos, sin)
         k = llama._apply_rope(k, cos, sin)
 
-        # write the new K/V row of every slot into its page
-        for bi in range(b):
-            kb, vb = k[bi, :, 0], v[bi, :, 0]  # [H, hd]
-            idx = (i, 0, page_of[bi], offset[bi], 0)
-            if cache.quantized:
-                kq, ks = _quant_rows(kb)
-                vq, vs = _quant_rows(vb)
-                k_pool = jax.lax.dynamic_update_slice(
-                    k_pool, kq[None, :, None, None, :], idx)
-                v_pool = jax.lax.dynamic_update_slice(
-                    v_pool, vq[None, :, None, None, :], idx)
-                ks_pool = jax.lax.dynamic_update_slice(
-                    ks_pool, ks[None, :, None, None, :], idx)
-                vs_pool = jax.lax.dynamic_update_slice(
-                    vs_pool, vs[None, :, None, None, :], idx)
-            else:
-                k_pool = jax.lax.dynamic_update_slice(
-                    k_pool, kb[None, :, None, None, :].astype(k_pool.dtype), idx)
-                v_pool = jax.lax.dynamic_update_slice(
-                    v_pool, vb[None, :, None, None, :].astype(v_pool.dtype), idx)
+        # write the new K/V row of every slot into its page: ONE scatter per
+        # pool (advanced indexing at[...] with [B] page/offset vectors) rather
+        # than B dynamic_update_slices — at 8 slots x 32 layers the per-slot
+        # loop was thousands of tiny update ops per decode step
+        kb, vb = k[:, :, 0], v[:, :, 0]  # [B, H, hd]
+        if cache.quantized:
+            kq, ks = _quant_rows(kb)
+            vq, vs = _quant_rows(vb)
+            k_pool = k_pool.at[i, :, page_of, offset].set(kq)
+            v_pool = v_pool.at[i, :, page_of, offset].set(vq)
+            ks_pool = ks_pool.at[i, :, page_of, offset].set(ks)
+            vs_pool = vs_pool.at[i, :, page_of, offset].set(vs)
+        else:
+            k_pool = k_pool.at[i, :, page_of, offset].set(kb.astype(k_pool.dtype))
+            v_pool = v_pool.at[i, :, page_of, offset].set(vb.astype(v_pool.dtype))
 
         qdt = jnp.float32 if cache.quantized else k_pool.dtype
         qd = (q[:, :, 0] * (hd**-0.5)).astype(qdt)  # [B, nh, hd]
