@@ -266,15 +266,13 @@ def _update_stacked_cache(
         k_all = jax.lax.dynamic_update_slice(k_all, k[None], (layer_idx, 0, 0, pos_arr, 0))
         v_all = jax.lax.dynamic_update_slice(v_all, v[None], (layer_idx, 0, 0, pos_arr, 0))
     else:
-        # Per-slot offsets (continuous batching): one in-place row update per
-        # batch slot — B is the engine's small slot count.
-        for bi in range(k.shape[0]):
-            k_all = jax.lax.dynamic_update_slice(
-                k_all, k[bi][None, None], (layer_idx, bi, 0, pos_arr[bi], 0)
-            )
-            v_all = jax.lax.dynamic_update_slice(
-                v_all, v[bi][None, None], (layer_idx, bi, 0, pos_arr[bi], 0)
-            )
+        # Per-slot offsets (continuous batching): ONE scatter per pool per
+        # new-token column (vs B tiny updates — thousands of ops per decode
+        # step at 8 slots x 32 layers).
+        bidx = jnp.arange(k.shape[0])
+        for j in range(k.shape[2]):
+            k_all = k_all.at[layer_idx, bidx, :, pos_arr + j].set(k[:, :, j])
+            v_all = v_all.at[layer_idx, bidx, :, pos_arr + j].set(v[:, :, j])
     return k_all, v_all
 
 
