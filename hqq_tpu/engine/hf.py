@@ -88,11 +88,17 @@ def _register_qwen3():
 
 def _register_gemma():
     from ..models import gemma as gemma_mod
+    from ..models import gemma2 as gemma2_mod
 
     _HQQ_REGISTRY["gemma"] = {
         "config": gemma_mod.GemmaConfig.from_hf,
         "forward": gemma_mod.forward,
         "loader": hf_loader.params_from_hf_state_dict,
+    }
+    _HQQ_REGISTRY["gemma2"] = {
+        "config": gemma2_mod.Gemma2Config.from_hf,
+        "forward": gemma2_mod.forward,
+        "loader": gemma2_mod.params_from_hf_state_dict,
     }
 
 
