@@ -47,6 +47,7 @@ class Request:
     output: List[int] = dataclasses.field(default_factory=list)
     slot: Optional[int] = None
     done: bool = False
+    adapter_id: int = 0  # multi-LoRA: which adapter serves this request
 
 
 class ContinuousBatchingEngine:
@@ -81,6 +82,7 @@ class ContinuousBatchingEngine:
         self._key = jax.random.PRNGKey(seed)
 
         # host-side state
+        self._adapter = np.zeros((batch_slots,), np.int32)
         self.queue: deque[Request] = deque()
         self.active: Dict[int, Request] = {}  # slot -> request
         self.finished: Dict[int, Request] = {}
@@ -96,12 +98,16 @@ class ContinuousBatchingEngine:
         # identical to horizon=1.
         self.horizon = max(1, int(horizon))
         self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("t_pad",))
-        self._decode_jit = jax.jit(self._decode_impl)
-        self._horizon_jit = jax.jit(self._decode_horizon_impl, static_argnames=("steps",))
+        self._decode_jit = jax.jit(self._decode_impl_lora)
+        self._horizon_jit = jax.jit(self._decode_horizon_impl_lora,
+                                    static_argnames=("steps",))
 
     # -- jitted kernels ------------------------------------------------------
-    def _prefill_impl(self, params, tokens, mini_cache, *, t_pad):
-        logits, mini_cache = self._fwd(params, tokens, mini_cache, 0)
+    def _prefill_impl(self, params, tokens, mini_cache, adapter_ids, *, t_pad):
+        from ..nn.multilora import adapter_context
+
+        with adapter_context(adapter_ids):
+            logits, mini_cache = self._fwd(params, tokens, mini_cache, 0)
         return logits, mini_cache
 
     def _decode_impl(self, params, tokens, cache, pos, live, key):
@@ -113,6 +119,12 @@ class ContinuousBatchingEngine:
             logits[:, -1], sub, self.do_sample, self.top_k, self.temperature
         )
         return nxt.astype(jnp.int32), cache, key
+
+    def _decode_impl_lora(self, params, tokens, cache, pos, live, key, adapter_ids):
+        from ..nn.multilora import adapter_context
+
+        with adapter_context(adapter_ids):
+            return self._decode_impl(params, tokens, cache, pos, live, key)
 
     def _decode_horizon_impl(self, params, tokens, cache, pos, key, *, steps):
         """`steps` decode steps for all slots inside ONE device program."""
@@ -131,8 +143,17 @@ class ContinuousBatchingEngine:
         )
         return toks, cache, key  # toks: [steps, slots]
 
+    def _decode_horizon_impl_lora(self, params, tokens, cache, pos, key,
+                                  adapter_ids, *, steps):
+        from ..nn.multilora import adapter_context
+
+        with adapter_context(adapter_ids):
+            return self._decode_horizon_impl(params, tokens, cache, pos, key,
+                                             steps=steps)
+
     # -- public API -----------------------------------------------------------
-    def add_request(self, prompt_ids, max_new_tokens: int = 128) -> int:
+    def add_request(self, prompt_ids, max_new_tokens: int = 128,
+                    adapter_id: int = 0) -> int:
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         t_pad = next_power_of_2(max(len(prompt), 2))
         if t_pad + max_new_tokens > self.max_len:
@@ -145,6 +166,7 @@ class ContinuousBatchingEngine:
             uid=self._uid,
             prompt=prompt,
             max_new_tokens=max_new_tokens,
+            adapter_id=int(adapter_id),
         )
         self.queue.append(req)
         return req.uid
@@ -156,9 +178,11 @@ class ContinuousBatchingEngine:
         prompt = np.zeros((1, t_pad), np.int32)
         prompt[0, :t] = req.prompt
 
+        self._adapter[slot] = req.adapter_id
         mini = llama.init_cache(self.cfg, 1, self.max_len, self.cache.k.dtype)
         logits, mini = self._prefill_jit(
-            self.params, jnp.asarray(prompt), mini, t_pad=t_pad
+            self.params, jnp.asarray(prompt), mini,
+            jnp.asarray([req.adapter_id], jnp.int32), t_pad=t_pad,
         )
         # splice the mini-cache into this slot's rows
         self.cache = llama.KVCache(
@@ -226,6 +250,7 @@ class ContinuousBatchingEngine:
                 jnp.asarray(self._pos),
                 jnp.asarray(self._live),
                 self._key,
+                jnp.asarray(self._adapter),
             )
             toks = np.asarray(nxt)[None]  # [1, slots]
         else:
@@ -235,6 +260,7 @@ class ContinuousBatchingEngine:
                 self.cache,
                 jnp.asarray(self._pos),
                 self._key,
+                jnp.asarray(self._adapter),
                 steps=h,
             )
             toks = np.asarray(toks)
