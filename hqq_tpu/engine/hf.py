@@ -86,6 +86,16 @@ def _register_qwen3():
     }
 
 
+def _register_deepseek3():
+    from ..models import deepseek3 as ds3
+
+    _HQQ_REGISTRY["deepseek_v3"] = {
+        "config": ds3.DeepseekV3Config.from_hf,
+        "forward": ds3.forward,
+        "loader": ds3.params_from_hf_state_dict,
+    }
+
+
 def _register_gemma():
     from ..models import gemma as gemma_mod
     from ..models import gemma2 as gemma2_mod
@@ -106,6 +116,7 @@ _register_mistral()
 _register_phi()
 _register_qwen2()
 _register_qwen3()
+_register_deepseek3()
 _register_gemma()
 
 
