@@ -110,6 +110,13 @@ def _register_gemma():
         "forward": gemma2_mod.forward,
         "loader": gemma2_mod.params_from_hf_state_dict,
     }
+    from ..models import gemma3 as gemma3_mod
+
+    _HQQ_REGISTRY["gemma3_text"] = {
+        "config": gemma3_mod.Gemma3Config.from_hf,
+        "forward": gemma3_mod.forward,
+        "loader": gemma3_mod.params_from_hf_state_dict,
+    }
 
 
 _register_mistral()

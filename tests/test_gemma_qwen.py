@@ -186,3 +186,50 @@ def test_gemma2_quantized_cached_decode():
         outs.append(lg[:, 0])
     dec = np.stack([np.asarray(o) for o in outs], axis=1)
     np.testing.assert_allclose(dec, np.asarray(full[:, 10:]), rtol=2e-3, atol=2e-3)
+
+
+def test_gemma3_hf_logits_parity():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from hqq_tpu.models import gemma3
+
+    hf_cfg = transformers.Gemma3TextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, query_pre_attn_scalar=16,
+        sliding_window=8, rope_theta=1_000_000.0, rope_local_base_freq=10_000.0,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = transformers.Gemma3ForCausalLM(hf_cfg).eval().float()
+
+    cfg = gemma3.Gemma3Config.from_hf(hf_cfg.to_dict())
+    assert cfg.layer_types is not None
+    params = gemma3.params_from_hf_state_dict(dict(model.state_dict()), cfg)
+
+    tokens = np.array([[3, 14, 15, 92, 65, 35, 19, 41, 77, 2, 8, 101]], dtype=np.int64)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(tokens)).logits.numpy()
+    ours, _ = gemma3.forward(params, cfg, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=4e-4, atol=4e-4)
+
+
+def test_gemma3_quantized_cached_decode():
+    from hqq_tpu.models import gemma3
+
+    cfg = gemma3.Gemma3Config.tiny()
+    params = gemma3.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+    t = 20
+    toks = (jnp.arange(t, dtype=jnp.int32) * 3 + 1).reshape(1, t) % cfg.vocab_size
+    full, _ = gemma3.forward(q, cfg, toks)
+    cache = gemma3.init_cache(cfg, 1, 32, jnp.float32)
+    _, cache = gemma3.forward(q, cfg, toks[:, :10], cache, 0)
+    outs = []
+    for i in range(10, t):
+        lg, cache = gemma3.forward(q, cfg, toks[:, i:i+1], cache, i)
+        outs.append(lg[:, 0])
+    dec = np.stack([np.asarray(o) for o in outs], axis=1)
+    np.testing.assert_allclose(dec, np.asarray(full[:, 10:]), rtol=2e-3, atol=2e-3)
