@@ -86,6 +86,22 @@ def _register_qwen3():
     }
 
 
+def _register_code_families():
+    from ..models import olmo2 as olmo2_mod
+    from ..models import starcoder2 as sc2_mod
+
+    _HQQ_REGISTRY["starcoder2"] = {
+        "config": sc2_mod.Starcoder2Config.from_hf,
+        "forward": sc2_mod.forward,
+        "loader": sc2_mod.params_from_hf_state_dict,
+    }
+    _HQQ_REGISTRY["olmo2"] = {
+        "config": olmo2_mod.Olmo2Config.from_hf,
+        "forward": olmo2_mod.forward,
+        "loader": olmo2_mod.params_from_hf_state_dict,
+    }
+
+
 def _register_deepseek3():
     from ..models import deepseek3 as ds3
 
@@ -123,6 +139,7 @@ _register_mistral()
 _register_phi()
 _register_qwen2()
 _register_qwen3()
+_register_code_families()
 _register_deepseek3()
 _register_gemma()
 
