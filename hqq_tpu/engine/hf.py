@@ -100,6 +100,13 @@ def _register_code_families():
         "forward": olmo2_mod.forward,
         "loader": olmo2_mod.params_from_hf_state_dict,
     }
+    from ..models import granite as granite_mod
+
+    _HQQ_REGISTRY["granite"] = {
+        "config": granite_mod.GraniteConfig.from_hf,
+        "forward": granite_mod.forward,
+        "loader": hf_loader.params_from_hf_state_dict,
+    }
 
 
 def _register_deepseek3():

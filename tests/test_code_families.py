@@ -70,3 +70,30 @@ def test_quantized_cached_decode(mod):
         outs.append(lg[:, 0])
     dec = np.stack([np.asarray(o) for o in outs], axis=1)
     np.testing.assert_allclose(dec, np.asarray(full[:, 6:]), rtol=2e-3, atol=2e-3)
+
+
+def test_granite_hf_logits_parity():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from hqq_tpu.models import granite, params_from_hf_state_dict
+
+    hf_cfg = transformers.GraniteConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, embedding_multiplier=12.0,
+        residual_multiplier=0.22, attention_multiplier=0.0625,
+        logits_scaling=8.0, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = transformers.GraniteForCausalLM(hf_cfg).eval().float()
+
+    cfg = granite.GraniteConfig.from_hf(hf_cfg.to_dict())
+    assert cfg.logits_scaling == 8.0
+    params = params_from_hf_state_dict(dict(model.state_dict()), cfg)
+    tokens = np.array([[3, 14, 15, 92, 65, 35]], dtype=np.int64)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(tokens)).logits.numpy()
+    ours, _ = granite.forward(params, cfg, jnp.asarray(tokens, jnp.int32))
+    # multipliers (12x embed) amplify benign fp reordering noise slightly
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4, atol=5e-4)
