@@ -19,11 +19,19 @@ from ..ops.fused_matmul import (
     KernelQTensor,
     dequant_pallas,
     quant_matmul_pallas,
+    quant_matmul_pallas_a8,
     supports_kernel_layout,
     to_kernel_layout,
 )
 
-__all__ = ["PallasQuantLinear", "PallasLoRAQuantLinear", "patch_quantlinear_to_pallas", "patch_lora_to_pallas"]
+__all__ = [
+    "PallasQuantLinear",
+    "A8QuantLinear",
+    "PallasLoRAQuantLinear",
+    "patch_quantlinear_to_pallas",
+    "patch_quantlinear_to_w4a8",
+    "patch_lora_to_pallas",
+]
 
 
 @struct.dataclass
@@ -71,6 +79,60 @@ def patch_quantlinear_to_pallas(
     md = meta_dtype if meta_dtype is not None else jnp.float32
     return PallasQuantLinear(
         kqt=to_kernel_layout(layer.qweight, meta_dtype=md), bias=layer.bias
+    )
+
+
+@struct.dataclass
+class A8QuantLinear:
+    """W4A8 serving layer: true 4-bit HBM storage feeding int8 MXU operands
+    (`ops.fused_matmul.quant_matmul_pallas_a8`). Weight-side arithmetic is
+    bit-identical to HQQ dequant; activations are dynamically int8-quantized
+    per token (the int8 backend's approximation) — so this backend combines
+    the pallas backend's memory footprint with (near) int8-backend speed at
+    decode batch sizes. ≙ the reference's marlin/gemlite "fast quantized
+    kernel" backends (`/root/reference/hqq/backends/marlin.py`)."""
+
+    kqt: KernelQTensor
+    bias: Optional[Array] = None
+
+    @property
+    def in_features(self) -> int:
+        return self.kqt.k
+
+    @property
+    def out_features(self) -> int:
+        return self.kqt.n
+
+    @property
+    def compute_dtype(self):
+        return self.kqt.compute_dtype
+
+    def __call__(self, x: Array) -> Array:
+        out = quant_matmul_pallas_a8(x.astype(self.compute_dtype), self.kqt)
+        if self.bias is not None:
+            out = out + self.bias
+        return out
+
+    def dequantize(self, dtype=None) -> Array:
+        w_t = dequant_pallas(self.kqt)
+        return w_t.T.astype(dtype if dtype is not None else self.compute_dtype)
+
+
+def patch_quantlinear_to_w4a8(
+    layer: QuantLinear, meta_dtype=None
+) -> "A8QuantLinear | QuantLinear":
+    """Convert a `QuantLinear` to the W4A8 backend; returns the layer
+    unchanged when not fusable (axis=0, exotic group sizes). K storage is
+    padded to 32 groups so the M=1 class-replicated kernel applies on every
+    shape (`to_kernel_layout(pad_k_groups=32)`)."""
+    if not supports_kernel_layout(layer.qweight):
+        return layer
+    import jax.numpy as jnp
+
+    md = meta_dtype if meta_dtype is not None else jnp.float32
+    return A8QuantLinear(
+        kqt=to_kernel_layout(layer.qweight, meta_dtype=md, pad_k_groups=32),
+        bias=layer.bias,
     )
 
 

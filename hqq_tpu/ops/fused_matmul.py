@@ -42,7 +42,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.quantize import QTensor, resolve_meta, unpack_codes
 
-__all__ = ["KernelQTensor", "to_kernel_layout", "quant_matmul_pallas", "quant_matmul_pallas_lora", "dequant_pallas"]
+__all__ = [
+    "KernelQTensor",
+    "to_kernel_layout",
+    "quant_matmul_pallas",
+    "quant_matmul_pallas_a8",
+    "quant_matmul_pallas_lora",
+    "quantize_activations_int8",
+    "dequant_pallas",
+]
 
 # nbits (canonical) -> container bits used by the kernel layout
 _KERNEL_CONTAINER_BITS = {8: 8, 6: 8, 5: 8, 4: 4, 3: 4, 2: 2, 1.58: 2, 1: 1}
@@ -110,7 +118,9 @@ def supports_kernel_layout(qt: QTensor) -> bool:
     return k % g == 0 and g % r == 0 and g % 8 == 0
 
 
-def to_kernel_layout(qt: QTensor, meta_dtype=jnp.float32) -> KernelQTensor:
+def to_kernel_layout(
+    qt: QTensor, meta_dtype=jnp.float32, pad_k_groups: int = 8
+) -> KernelQTensor:
     """Convert a canonical group-space `QTensor` (axis=1) to kernel layout.
 
     ≙ the repacking the reference backends do at `prepare_for_inference`
@@ -122,11 +132,18 @@ def to_kernel_layout(qt: QTensor, meta_dtype=jnp.float32) -> KernelQTensor:
     onto a chip) but measured ~30% SLOWER decode on v5e — Mosaic's bf16
     broadcast-multiply path underperforms fp32 — so it is a footprint
     option, not a speed option.
+
+    pad_k_groups: K is zero-padded to a multiple of ``pad_k_groups·g``
+    (padded rows dequantize to exactly 0). 8 is the minimum for the TPU
+    8-sublane rule; 32 additionally enables the M=1 class-replicated decode
+    kernel on every K (the w4a8 backend passes 32 — ≤11% extra bytes on
+    Llama-odd dims like 11008).
     """
     assert supports_kernel_layout(qt), (
         "kernel layout requires axis=1 grouped quantization with "
         "group_size % (8/container_bits) == 0"
     )
+    assert pad_k_groups in (8, 32)
     qt = resolve_meta(qt)  # fused kernels consume plain fp scale/zero
     n_out, k = qt.shape
     g = qt.group_size
@@ -137,10 +154,9 @@ def to_kernel_layout(qt: QTensor, meta_dtype=jnp.float32) -> KernelQTensor:
     scale_kn = qt.scale.reshape(n_out, k // g).T.astype(jnp.float32)  # [K/g, N]
     zero_kn = qt.zero.reshape(n_out, k // g).T.astype(jnp.float32)
 
-    # Pad K to a multiple of 8*g so scale/zs tiles meet the TPU 8-sublane
-    # rule for any K-tiling (padded rows dequantize to exactly 0: codes=0,
-    # scale=0, zero=0 -> w = 0*0 - 0*0).
-    k_pad = _round_up(k, 8 * g) if k > 8 * g else k
+    # Pad K so scale/zs tiles meet the TPU 8-sublane rule for any K-tiling
+    # (padded rows dequantize to exactly 0: codes=0, scale=0, zero=0).
+    k_pad = _round_up(k, pad_k_groups * g) if k > 8 * g else k
     if k_pad != k:
         codes_kn = jnp.pad(codes_kn, ((0, k_pad - k), (0, 0)))
         scale_kn = jnp.pad(scale_kn, ((0, (k_pad - k) // g), (0, 0)))
@@ -164,6 +180,22 @@ def to_kernel_layout(qt: QTensor, meta_dtype=jnp.float32) -> KernelQTensor:
         shape=(k, n_out),
         compute_dtype=dtype,
     )
+
+
+def _logical_dims(kqt: KernelQTensor) -> tuple:
+    """(K_logical, N_logical) for the arrays at hand: the struct's global
+    dims when the arrays carry the full (storage-padded) tensors, the local
+    array dims when they are shard-local inside shard_map (the static struct
+    metadata then still holds the global shape)."""
+    g = kqt.group_size
+    k_arr = kqt.wq.shape[0] * kqt.r
+    n_arr = kqt.wq.shape[1]
+    if kqt.k > 8 * g:
+        k_stores = (_round_up(kqt.k, 8 * g), _round_up(kqt.k, 32 * g))
+    else:
+        k_stores = (kqt.k,)
+    is_global = k_arr in k_stores and n_arr == _round_up(kqt.n, 128)
+    return (kqt.k if is_global else k_arr, kqt.n if is_global else n_arr)
 
 
 # ---------------------------------------------------------------------------
@@ -311,13 +343,8 @@ def quant_matmul_pallas(
     # Derive dims from the arrays, not the static metadata: inside shard_map
     # the struct carries its global `shape` but the arrays are local shards.
     # K may also be storage-padded (to a multiple of 8*g) by to_kernel_layout.
-    g = kqt.group_size
     k_arr = kqt.wq.shape[0] * kqt.r  # storage K (incl. padding)
-    n_arr = kqt.wq.shape[1]  # storage N (incl. padding)
-    k_store_global = _round_up(kqt.k, 8 * g) if kqt.k > 8 * g else kqt.k
-    is_global = k_arr == k_store_global and n_arr == _round_up(kqt.n, 128)
-    k_logical = kqt.k if is_global else k_arr
-    n = kqt.n if is_global else n_arr
+    k_logical, n = _logical_dims(kqt)
 
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k_logical)
@@ -335,6 +362,322 @@ def quant_matmul_pallas(
         n=n,
         interpret=interpret,
     )
+    return out.reshape(*lead, n)
+
+
+# ---------------------------------------------------------------------------
+# W4A8 kernels: true 4-bit HBM storage feeding int8 MXU operands.
+#
+# The bf16 kernel above is floored at the MXU's bf16 weight-feed rate (~44 µs
+# for 4096² at decode M on v5e): dequantizing to bf16 can never beat a dense
+# bf16 matmul. These variants never materialize bf16 weights — codes unpack
+# in-register to *int8* and the MXU runs int8×int8→int32 dots (v5e feeds int8
+# operands ~1.5-2× faster). Per-group scale/zero fold into the fp32 epilogue:
+#
+#   y[m,n] = sx[m] · Σ_g ( s[g,n] · (x8_g @ c_g)[m,n]  −  xsum[m,g] · zs[g,n] )
+#
+# where x8 = round(x/sx) is the dynamically int8-quantized activation, c_g
+# the raw codes of group g (int8), xsum per-group activation sums, and
+# zs = zero·scale. Weight-side arithmetic is EXACT (bit-identical to HQQ
+# dequant); the only approximation is the per-token activation quantization —
+# the same one the int8 backend makes, but at 4-bit HBM bytes and with NO
+# weight requantization error.
+#
+# The per-group partial sums would naively need one (shallow) MXU dot per
+# group — measured ~2× slower than one deep dot on v5e (MXU drain between
+# dots). The decode kernel instead uses CLASS REPLICATION: at decode the
+# int8 operand tile forces TM ≥ 32 rows while M ≤ 8, so the activation row
+# is replicated into S = TM/M "class" rows, class q masked to groups
+# ≡ q within the K-tile (block-diagonal lhs, built by XLA outside). ONE deep
+# int8 dot of depth S·g then yields every per-group partial in its own
+# output row; scales apply on the small [TM, TN] output and a sublane
+# reshape-sum folds classes back into M rows. For M > 32 (prefill) a
+# batched per-group-dot variant keeps coverage (prefill-heavy serving runs
+# the int8 or bf16 path anyway).
+#
+# ≙ the reference's "make quantized *fast*" layer (marlin's symmetric int4
+# kernel + rank-1 zero trick, `/root/reference/hqq/backends/marlin.py:84-107`)
+# re-imagined for the TPU MXU.
+# ---------------------------------------------------------------------------
+
+
+def _unpack_tile_2d(p: Array, cb: int) -> Array:
+    """Unpack a packed tile [TK/r, TN] -> int8 codes [TK, TN] in chunk-concat
+    row order: row (c·TK/r + p) holds the chunk-c bitfield of packed row p.
+    In-group k order is (c, b, i) — consumers permute activations to match."""
+    r = 8 // cb
+    if r == 1:
+        return p.astype(jnp.int8)
+    mask = (1 << cb) - 1
+    p3 = p.astype(jnp.int32)
+    chunks = [(p3 >> (cb * (r - 1 - j))) & mask for j in range(r)]
+    return jnp.concatenate(chunks, axis=0).astype(jnp.int8)
+
+
+def _qmm_a8_decode_kernel(
+    xp_ref, wq_ref, scale_ref, zs_ref, out_ref, acc_ref, *, g, cb, s, meff
+):
+    """Class-replicated deep-dot decode kernel (see section comment).
+
+    xp: [meff·s, TK] int8 — row (m·s + q) is slot m's activations masked to
+        the lanes of in-tile group q, lanes permuted to chunk-concat order.
+    meff == 1 accumulates partial class sums in 8 acc rows (summed by the
+    caller); meff ≥ 8 folds classes in-kernel.
+    """
+    kidx = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(kidx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    tn = wq_ref.shape[-1]
+    c8 = _unpack_tile_2d(wq_ref[:], cb)  # [TK, TN]
+    part = jax.lax.dot_general(
+        xp_ref[:],
+        c8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [meff·s, TN]; the class mask makes row (m·s+q) = group-q partial
+    # fp32 epilogue on the VPU (an MXU fp32 dot would run at bf16 operand
+    # precision); xsum rows are already class-masked so the zero term needs
+    # no per-group bookkeeping
+    xsum = jnp.sum(xp_ref[:].astype(jnp.float32), axis=1, keepdims=True)
+    if meff == 1:
+        contrib = part.astype(jnp.float32) * scale_ref[:] - xsum * zs_ref[:]
+        acc_ref[:] += jnp.sum(contrib.reshape(8, s // 8, tn), axis=1)
+    else:
+        part4 = part.reshape(meff, s, tn).astype(jnp.float32)
+        contrib = part4 * scale_ref[:][None] - xsum.reshape(meff, s, 1) * zs_ref[:][None]
+        acc_ref[:] += jnp.sum(contrib, axis=1)
+
+    @pl.when(kidx == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _pick_tile_n(n_pad: int, target: int) -> int:
+    """Largest multiple of 128 dividing n_pad, capped at `target`."""
+    t = min(target, n_pad)
+    t -= t % 128
+    while t > 128 and n_pad % t:
+        t -= 128
+    return max(t, 128)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("container_bits", "group_size", "k", "n", "s", "meff", "interpret"),
+)
+def _qmm_a8_decode_call(
+    x8: Array,
+    wq: Array,
+    scale: Array,
+    zs: Array,
+    *,
+    container_bits: int,
+    group_size: int,
+    k: int,
+    n: int,
+    s: int,
+    meff: int,
+    interpret: bool = False,
+) -> Array:
+    g, cb = group_size, container_bits
+    r = 8 // cb
+    m = x8.shape[0]
+    n_pad = wq.shape[1]
+    tk = s * g
+    nt = k // tk
+    if m != meff:
+        x8 = jnp.pad(x8, ((0, meff - m), (0, 0)))
+
+    # Build the class-replicated block-diagonal lhs (XLA, off the hot loop's
+    # weight path): lane order within a tile is (chunk c, group b, offset i)
+    # to match _unpack_tile_2d's concat; row (m·s + q) masks to group b == q.
+    xg = x8.reshape(meff, nt, s, r, g // r).transpose(1, 0, 3, 2, 4)  # [t,m,c,b,i]
+    eye = jnp.eye(s, dtype=jnp.int8)
+    xp = xg[:, None] * eye[None, :, None, None, :, None]  # [t,q,m,c,b,i]
+    xp = xp.transpose(2, 1, 0, 3, 4, 5).reshape(meff * s, k)
+
+    tn = _pick_tile_n(n_pad, 2048 if meff == 1 else 1024)
+    grid = (n_pad // tn, nt)
+    acc_rows = 8 if meff == 1 else meff
+    out = pl.pallas_call(
+        functools.partial(_qmm_a8_decode_kernel, g=g, cb=cb, s=s, meff=meff),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((meff * s, tk), lambda j, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // r, tn), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, tn), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, tn), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((acc_rows, tn), lambda j, kk: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((acc_rows, n_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((acc_rows, tn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * meff * s * n_pad * k,
+            bytes_accessed=meff * s * k + wq.size + scale.size * 8 + acc_rows * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, wq, scale, zs)
+    if meff == 1:
+        return jnp.sum(out, axis=0, keepdims=True)[:, :n]  # fold partial class rows
+    return out[:m, :n]
+
+
+def _qmm_a8_kernel(x3_ref, xsum_ref, wq_ref, scale_ref, zs_ref, out_ref, acc_ref, *, g, cb):
+    """Batched per-group-dot fallback (any M): one (TM, TN) fp32 output tile
+    accumulating over the K grid dim. Activations arrive pre-grouped
+    [K/g, M, g] (Mosaic cannot split the lane dim in-kernel) with per-group
+    sums precomputed [K/g, M]. ~2× off the decode kernel at small M (MXU
+    drain between the shallow per-group dots) — used only where class
+    replication doesn't apply (M > 32)."""
+    kidx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kidx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    tn = wq_ref.shape[-1]
+    c3 = _unpack_tile(wq_ref[:], g, cb, tn)  # [B, g, TN] int32, values < 2^cb
+    c8 = c3.astype(jnp.int8)
+
+    # int8×int8 → int32 on the MXU, one dot per group (batched)
+    part = jax.lax.dot_general(
+        x3_ref[:],
+        c8,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [B, TM, TN]
+    # scale + zero-point correction fused on the VPU in full fp32 (an MXU
+    # fp32 dot would silently run at bf16 operand precision):
+    #   Σ_b part[b]·s[b]  −  xsum[b] ⊗ zs[b]
+    acc_ref[:] += jnp.sum(
+        part.astype(jnp.float32) * scale_ref[:][:, None, :]
+        - xsum_ref[:][:, :, None] * zs_ref[:][:, None, :].astype(jnp.float32),
+        axis=0,
+    )
+
+    @pl.when(kidx == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("container_bits", "group_size", "k", "n", "interpret"),
+)
+def _qmm_a8_call(
+    x8: Array,
+    wq: Array,
+    scale: Array,
+    zs: Array,
+    *,
+    container_bits: int,
+    group_size: int,
+    k: int,
+    n: int,
+    interpret: bool = False,
+) -> Array:
+    g, cb = group_size, container_bits
+    r = 8 // cb
+    m = x8.shape[0]
+    n_pad = wq.shape[1]
+
+    tm = min(_round_up(m, 32), 256)  # int8 sublane tile is 32
+    tn = min(n_pad, 512)
+    while n_pad % tn:
+        tn //= 2
+    # B = TK//g groups per tile: keep the [B, TM, TN] int32 partial modest
+    tk = _pick_tile_k(k, g, target=max(8 * g, 512))
+
+    m_pad = _round_up(m, tm)
+    if m_pad != m:
+        x8 = jnp.pad(x8, ((0, m_pad - m), (0, 0)))
+
+    # Pre-group activations (Mosaic cannot split the lane dim in-kernel):
+    # [M, K] -> [K/g, M, g], plus per-group sums [K/g, M] for the zero term.
+    x3 = x8.reshape(m_pad, k // g, g).transpose(1, 0, 2)
+    xsum = jnp.sum(x3.astype(jnp.float32), axis=2)  # [K/g, M]
+
+    grid = (m_pad // tm, n_pad // tn, k // tk)
+    out = pl.pallas_call(
+        functools.partial(_qmm_a8_kernel, g=g, cb=cb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tk // g, tm, g), lambda i, j, kk: (kk, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // g, tm), lambda i, j, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // r, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // g, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // g, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n_pad * k,
+            bytes_accessed=(
+                m_pad * k
+                + wq.size
+                + scale.size * scale.dtype.itemsize * 2
+                + m_pad * n_pad * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x3, xsum, wq, scale, zs)
+    return out[:m, :n]
+
+
+def quantize_activations_int8(x2: Array) -> tuple[Array, Array]:
+    """Per-row symmetric int8 activation quantization: x ≈ x8 * sx."""
+    xf = x2.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    sx = jnp.maximum(sx, 1e-8)
+    x8 = jnp.round(xf / sx).astype(jnp.int8)
+    return x8, sx
+
+
+def quant_matmul_pallas_a8(
+    x: Array, kqt: KernelQTensor, interpret: Optional[bool] = None
+) -> Array:
+    """`x @ W_dq` from true 4-bit storage via int8 MXU dots (see kernel doc).
+
+    x: [..., K] -> [..., N] in x's dtype. Weight-side exact; activations are
+    dynamically int8-quantized per token (≙ the int8 backend's activation
+    path, `backends/int8_backend.py`). Routes to the class-replicated decode
+    kernel for M <= 32, the batched per-group variant otherwise."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    g = kqt.group_size
+    k_arr = kqt.wq.shape[0] * kqt.r
+    k_logical, n = _logical_dims(kqt)
+
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, k_logical)
+    x8, sx = quantize_activations_int8(x2)
+    if k_arr != k_logical:
+        x8 = jnp.pad(x8, ((0, 0), (0, k_arr - k_logical)))
+    m = x8.shape[0]
+    common = dict(
+        container_bits=kqt.container_bits,
+        group_size=kqt.group_size,
+        k=k_arr,
+        n=n,
+        interpret=interpret,
+    )
+    if m == 1 and k_arr % (32 * g) == 0:
+        out = _qmm_a8_decode_call(x8, kqt.wq, kqt.scale, kqt.zs, s=32, meff=1, **common)
+    elif m <= 32 and k_arr % (8 * g) == 0:
+        out = _qmm_a8_decode_call(
+            x8, kqt.wq, kqt.scale, kqt.zs, s=8, meff=_round_up(m, 8), **common
+        )
+    else:
+        out = _qmm_a8_call(x8, kqt.wq, kqt.scale, kqt.zs, **common)
+    out = (out * sx).astype(x.dtype)
     return out.reshape(*lead, n)
 
 
@@ -381,13 +724,8 @@ def dequant_pallas(kqt: KernelQTensor, interpret: Optional[bool] = None) -> Arra
     """Dequantize a kernel-layout weight to W^T [K, N] via a Pallas kernel."""
     if interpret is None:
         interpret = _auto_interpret()
-    g = kqt.group_size
     k_arr = kqt.wq.shape[0] * kqt.r
-    n_arr = kqt.wq.shape[1]
-    k_store_global = _round_up(kqt.k, 8 * g) if kqt.k > 8 * g else kqt.k
-    is_global = k_arr == k_store_global and n_arr == _round_up(kqt.n, 128)
-    k_logical = kqt.k if is_global else k_arr
-    n = kqt.n if is_global else n_arr
+    k_logical, n = _logical_dims(kqt)
     out = _dq_call(
         kqt.wq,
         kqt.scale,
@@ -508,13 +846,9 @@ def quant_matmul_pallas_lora(
     """
     if interpret is None:
         interpret = _auto_interpret()
-    g = kqt.group_size
     k_arr = kqt.wq.shape[0] * kqt.r
     n_arr = kqt.wq.shape[1]
-    k_store_global = _round_up(kqt.k, 8 * g) if kqt.k > 8 * g else kqt.k
-    is_global = k_arr == k_store_global and n_arr == _round_up(kqt.n, 128)
-    k_logical = kqt.k if is_global else k_arr
-    n = kqt.n if is_global else n_arr
+    k_logical, n = _logical_dims(kqt)
 
     r_pad = _round_up(a.shape[1], 128)
     a_p = jnp.zeros((k_arr, r_pad), jnp.float32).at[: a.shape[0], : a.shape[1]].set(

@@ -8,9 +8,15 @@ reference's backend zoo (torchao_int4 / bitblas / marlin / gemlite) collapses
 on TPU to:
 
     "xla"    — keep QuantLinear (XLA-fused dequant+matmul)
-    "pallas" — PallasQuantLinear (fused in-register dequant+matmul kernel)
+    "pallas" — PallasQuantLinear (fused in-register dequant+matmul kernel,
+               bf16 MXU operands — minimum-HBM, exact weights)
+    "w4a8"   — A8QuantLinear (fused kernel keeping 4-bit HBM storage but
+               feeding the MXU int8 operands — pallas footprint at near-int8
+               decode speed; adds the int8 backend's dynamic activation
+               quantization but NO weight requant error)
     "int8"   — Int8QuantLinear (dynamic A8W8, int8 MXU matmul, ≙ the
-               reference's experimental int8 path done as a prepared module)
+               reference's experimental int8 path done as a prepared module;
+               stores 8-bit weights — 2× the HBM bytes of w4a8)
 
 LoRA-wrapped layers convert their base in place (≙ ref `:26-50`).
 Also provides `patch_merge_zeros_with_lora` math helpers' analogue:
@@ -32,7 +38,7 @@ from ..nn.linear import QuantLinear
 
 __all__ = ["prepare_for_inference", "merge_zeros_into_lora", "lowrank_approx", "fuse_for_decode"]
 
-BACKENDS = ("xla", "pallas", "int8")
+BACKENDS = ("xla", "pallas", "w4a8", "int8")
 
 
 def prepare_for_inference(params: Any, backend="pallas", verbose: bool = False) -> Any:
@@ -55,6 +61,12 @@ def prepare_for_inference(params: Any, backend="pallas", verbose: bool = False) 
     def one(node: Any, b: str) -> Any:
         if b == "pallas":
             out = patch_quantlinear_to_pallas(node)
+            stats["converted" if out is not node else "kept"] += 1
+            return out
+        if b == "w4a8":
+            from ..backends.pallas_backend import patch_quantlinear_to_w4a8
+
+            out = patch_quantlinear_to_w4a8(node)
             stats["converted" if out is not node else "kept"] += 1
             return out
         if b == "int8":
@@ -98,8 +110,35 @@ def _concat_linears(layers):
     Supports Int8QuantLinear (w8/sw rows concat) and plain Linear; returns
     None if the group is heterogeneous or unsupported."""
     from ..backends.int8_backend import Int8QuantLinear
+    from ..backends.pallas_backend import A8QuantLinear
     from ..nn.linear import Linear
 
+    if all(isinstance(l, A8QuantLinear) for l in layers):
+        kqts = [l.kqt for l in layers]
+        k0 = kqts[0]
+        same = all(
+            kq.wq.shape[0] == k0.wq.shape[0]
+            and kq.group_size == k0.group_size
+            and kq.container_bits == k0.container_bits
+            and kq.n == kq.wq.shape[1]  # no N padding (concat must stay contiguous)
+            for kq in kqts
+        )
+        if not same:
+            return None
+        fused_kqt = k0.replace(
+            wq=jnp.concatenate([kq.wq for kq in kqts], axis=1),
+            scale=jnp.concatenate([kq.scale for kq in kqts], axis=1),
+            zs=jnp.concatenate([kq.zs for kq in kqts], axis=1),
+            shape=(k0.k, sum(kq.n for kq in kqts)),
+        )
+        biases = [l.bias for l in layers]
+        bias = None
+        if any(b is not None for b in biases):
+            bias = jnp.concatenate(
+                [b if b is not None else jnp.zeros((l.out_features,), l.compute_dtype)
+                 for l, b in zip(layers, biases)]
+            )
+        return A8QuantLinear(kqt=fused_kqt, bias=bias)
     if all(isinstance(l, Int8QuantLinear) for l in layers):
         biases = [l.bias for l in layers]
         has_bias = any(b is not None for b in biases)

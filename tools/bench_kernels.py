@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 
 from hqq_tpu.core.quantize import quantize
-from hqq_tpu.ops.fused_matmul import to_kernel_layout, quant_matmul_pallas
+from hqq_tpu.ops.fused_matmul import (
+    to_kernel_layout,
+    quant_matmul_pallas,
+    quant_matmul_pallas_a8,
+)
 from hqq_tpu.nn.linear import dequant_matmul
 
 HBM_BW = 819e9  # v5e
@@ -59,6 +63,7 @@ def main():
     rng = np.random.default_rng(0)
     w_np = rng.standard_normal((N, K), dtype=np.float32) / 20
     x0 = jnp.asarray(rng.standard_normal((M, K), dtype=np.float32) / 10, jnp.bfloat16)
+    x1 = x0[:1]
 
     # ---- dense bf16 reference ----
     wb = jnp.stack([jnp.asarray(w_np + i * 1e-6).astype(jnp.bfloat16).T for i in range(L)])
@@ -70,6 +75,22 @@ def main():
     t = time_scan(dense_step, wb, x0)
     bytes_dense = K * N * 2
     print(f"dense bf16 [{M}x{K}]@[{K}x{N}]: {t*1e6:.1f} us, roofline {bytes_dense/HBM_BW*1e6:.1f} us, eff {bytes_dense/HBM_BW/t*100:.0f}%")
+
+    # ---- dense int8 reference (the int8 backend's dot) ----
+    w8 = jnp.stack([jnp.asarray(np.round(w_np * 100).astype(np.int8))] * L)
+
+    def int8_step(w, x):
+        xf = x.astype(jnp.float32)
+        sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        x8 = jnp.round(xf / jnp.maximum(sx, 1e-8)).astype(jnp.int8)
+        acc = jax.lax.dot_general(x8, w, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * sx
+        return (x + y[:, :K] * 1e-6).astype(x.dtype)
+
+    for xm, tag in ((x0, f"M={M}"), (x1, "M=1")):
+        t = time_scan(int8_step, w8, xm)
+        print(f"xla int8 A8W8 {tag}: {t*1e6:.1f} us ({K*N} int8 bytes)")
 
     for nbits, g in ((8, 64), (4, 64), (4, 128), (2, 64)):
         qt = quantize(jnp.asarray(w_np), nbits=nbits, group_size=g, axis=1,
@@ -87,6 +108,21 @@ def main():
         bytes_q = kqt.wq.size + kqt.scale.size * 4 + kqt.zs.size * 4
         print(f"pallas {nbits}b g{g}: {t*1e6:.1f} us, roofline {bytes_q/HBM_BW*1e6:.1f} us, "
               f"eff {bytes_q/HBM_BW/t*100:.0f}%, speedup-vs-bf16-roofline {bytes_dense/HBM_BW/t:.2f}x")
+
+        # W4A8: 4-bit storage, int8 MXU operands (pad K to 32 groups so the
+        # M=1 class-replicated route applies)
+        if nbits in (4, 2):
+            kqt32 = to_kernel_layout(qt, pad_k_groups=32)
+            st32 = jax.tree_util.tree_map(lambda a: jnp.stack([a] * L), kqt32)
+
+            def a8_step(w, x):
+                y = quant_matmul_pallas_a8(x, w)
+                return (x + y[:, :K] * 1e-6).astype(x.dtype)
+
+            for xm, tag in ((x0, f"M={M}"), (x1, "M=1")):
+                t = time_scan(a8_step, st32, xm)
+                print(f"  w4a8 {nbits}b g{g} {tag}: {t*1e6:.1f} us, "
+                      f"eff {bytes_q/HBM_BW/t*100:.0f}%, vs-bf16-roofline {bytes_dense/HBM_BW/t:.2f}x")
 
         stacked_qt = jax.tree_util.tree_map(lambda a: jnp.stack([a] * L), qt)
 
