@@ -62,10 +62,15 @@ def build_quantized_llama(cfg, nbits=4, group_size=64, dtype=jnp.bfloat16, seed=
     feeds integer operands ~1.6x faster than bf16 (the MXU weight-feed rate,
     not HBM, is the binding constraint at decode batch sizes; measured in
     tools/kernel_lab.py). The extra requant error is ~1% of the 4-bit error.
-    backend="pallas": fused in-register dequant+matmul (minimal HBM bytes —
-    the right choice for batched/prefill-heavy serving)."""
+    backend="w4a8": fused kernel keeping true 4-bit HBM storage while feeding
+    the MXU int8 operands — ~int8 speed at half the int8 backend's memory
+    (13B fits one v5e chip) and no weight requant error.
+    backend="pallas": fused in-register dequant+matmul, bf16 MXU operands."""
     from hqq_tpu.backends.int8_backend import patch_quantlinear_to_int8
-    from hqq_tpu.backends.pallas_backend import patch_quantlinear_to_pallas
+    from hqq_tpu.backends.pallas_backend import (
+        patch_quantlinear_to_pallas,
+        patch_quantlinear_to_w4a8,
+    )
     from hqq_tpu.nn import Linear, QuantLinear
 
     key = jax.random.PRNGKey(seed)
@@ -86,6 +91,8 @@ def build_quantized_llama(cfg, nbits=4, group_size=64, dtype=jnp.bfloat16, seed=
         )
         if backend == "int8":
             return patch_quantlinear_to_int8(layer)
+        if backend == "w4a8":
+            return patch_quantlinear_to_w4a8(layer)
         return patch_quantlinear_to_pallas(layer)
 
     layers = []
@@ -116,6 +123,7 @@ def build_quantized_llama(cfg, nbits=4, group_size=64, dtype=jnp.bfloat16, seed=
 
 def main():
     from hqq_tpu.models import LlamaConfig, forward, init_cache
+    from hqq_tpu.utils.patching import fuse_for_decode
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
@@ -128,45 +136,85 @@ def main():
         )
         steps, cache_len = 8, 64
 
-    t0 = time.time()
-    try:
-        params = build_quantized_llama(cfg, nbits=4, group_size=64, backend="int8")
-        from hqq_tpu.utils.patching import fuse_for_decode
-
-        params = fuse_for_decode(params)  # one wide qkv/gate_up matmul per block
-    except Exception as e:  # noqa: BLE001 — never lose the benchmark to a backend issue
-        print(f"# int8 decode path failed ({e!r}); falling back to pallas", file=sys.stderr)
-        params = build_quantized_llama(cfg, nbits=4, group_size=64, backend="pallas")
-    jax.block_until_ready(params["norm"])
-    print(f"# built+quantized model in {time.time()-t0:.1f}s", file=sys.stderr)
-
-    cache = init_cache(cfg, batch=1, max_len=cache_len)
-
-    @jax.jit
-    def decode_n(params, cache, first_tok, start_pos):
-        def body(carry, _):
-            tok, cache, pos = carry
-            logits, cache = forward(params, cfg, tok, cache, pos)
-            nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
-            return (nxt, cache, pos + 1), nxt[0, 0]
-        (_, cache, _), toks = jax.lax.scan(
-            body, (first_tok, cache, start_pos), None, length=steps
-        )
-        return toks
-
-    first = jnp.ones((1, 1), jnp.int32)
-    pos0 = jnp.asarray(1, jnp.int32)
-
-    t0 = time.time()
-    toks = np.asarray(decode_n(params, cache, first, pos0))
-    print(f"# decode compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
-
-    best = float("inf")
-    for _ in range(3):
+    def build(backend):
         t0 = time.time()
-        toks = np.asarray(decode_n(params, cache, first, pos0))
-        best = min(best, (time.time() - t0) / steps)
-    tok_s = 1.0 / best
+        params = build_quantized_llama(cfg, nbits=4, group_size=64, backend=backend)
+        params = fuse_for_decode(params)  # one wide qkv/gate_up matmul per block
+        jax.block_until_ready(params["norm"])
+        print(f"# built+quantized [{backend}] in {time.time()-t0:.1f}s", file=sys.stderr)
+        return params
+
+    def measure_decode(params, batch=1, reps=3):
+        cache = init_cache(cfg, batch=batch, max_len=cache_len)
+
+        @jax.jit
+        def decode_n(params, cache, first_tok, start_pos):
+            def body(carry, _):
+                tok, cache, pos = carry
+                logits, cache = forward(params, cfg, tok, cache, pos)
+                nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                return (nxt, cache, pos + 1), nxt[:, 0]
+            (_, cache, _), toks = jax.lax.scan(
+                body, (first_tok, cache, start_pos), None, length=steps
+            )
+            return toks
+
+        first = jnp.ones((batch, 1), jnp.int32)
+        pos0 = jnp.asarray(1, jnp.int32)
+        t0 = time.time()
+        np.asarray(decode_n(params, cache, first, pos0))
+        print(f"# decode compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            np.asarray(decode_n(params, cache, first, pos0))
+            best = min(best, (time.time() - t0) / steps)
+        return batch / best  # total tok/s across the batch
+
+    def measure_prefill(params, t_len=512, reps=3):
+        cache = init_cache(cfg, batch=1, max_len=max(cache_len, t_len))
+
+        @jax.jit
+        def prefill(params, cache, toks):
+            logits, cache = forward(params, cfg, toks, cache, 0)
+            return logits[:, -1].sum()  # reduce before fetch (tunnel-safe)
+
+        toks = jnp.ones((1, t_len), jnp.int32)
+        np.asarray(prefill(params, cache, toks))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            np.asarray(prefill(params, cache, toks))
+            best = min(best, time.time() - t0)
+        return t_len / best
+
+    extra = {}
+
+    # ---- headline: W4A8 decode — true 4-bit HBM storage, int8 MXU operands,
+    # weight math bit-identical to HQQ dequant (no requantization) ----
+    try:
+        params = build("w4a8")
+        tok_s = measure_decode(params, batch=1)
+        extra["batch8_tok_s"] = round(measure_decode(params, batch=8, reps=2), 2)
+        del params
+    except Exception as e:  # noqa: BLE001 — never lose the benchmark to a backend issue
+        print(f"# w4a8 decode path failed ({e!r}); falling back to int8", file=sys.stderr)
+        tok_s = None
+
+    # ---- int8 requant path (2x the memory; prefill champion) ----
+    try:
+        params = build("int8")
+        extra["int8_tok_s"] = round(measure_decode(params, batch=1, reps=2), 2)
+        extra["prefill_tok_s"] = round(measure_prefill(params), 1)
+        if tok_s is None:
+            tok_s = extra["int8_tok_s"]
+        del params
+    except Exception as e:  # noqa: BLE001
+        print(f"# int8 path failed: {e!r}", file=sys.stderr)
+        if tok_s is None:
+            params = build("pallas")
+            tok_s = measure_decode(params, batch=1)
+            del params
 
     # bf16 roofline: all weight bytes (linears + embed/head) once per token.
     d, f = cfg.hidden_size, cfg.intermediate_size
@@ -177,10 +225,11 @@ def main():
     other_params = 2 * cfg.vocab_size * d
     bf16_bytes = 2 * (linear_params + other_params)
     roofline_tok_s = detect_bw() / bf16_bytes
+    extra["bf16_roofline_tok_s"] = round(roofline_tok_s, 2)
 
     print(
         f"# tok/s={tok_s:.2f}, bf16 roofline={roofline_tok_s:.2f} tok/s, "
-        f"ratio={tok_s / roofline_tok_s:.3f}",
+        f"ratio={tok_s / roofline_tok_s:.3f}, extra={extra}",
         file=sys.stderr,
     )
     print(json.dumps({
@@ -188,6 +237,7 @@ def main():
         "value": round(tok_s, 2),
         "unit": "tok/s/chip",
         "vs_baseline": round(tok_s / roofline_tok_s, 4),
+        "extra": extra,
     }))
 
 

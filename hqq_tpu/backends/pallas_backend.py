@@ -122,16 +122,24 @@ def patch_quantlinear_to_w4a8(
     layer: QuantLinear, meta_dtype=None
 ) -> "A8QuantLinear | QuantLinear":
     """Convert a `QuantLinear` to the W4A8 backend; returns the layer
-    unchanged when not fusable (axis=0, exotic group sizes). K storage is
-    padded to 32 groups so the M=1 class-replicated kernel applies on every
-    shape (`to_kernel_layout(pad_k_groups=32)`)."""
+    unchanged when not fusable (axis=0, exotic group sizes).
+
+    K storage is padded to 32 groups when the byte overhead stays ≤ 1/8 —
+    that enables the fastest M=1 class-replicated kernel (e.g. Llama-7B
+    11008 → 12288, +11.6% on that matmul only, net win) — and to the minimum
+    8 groups otherwise (e.g. 13B's 5120 would pad +20%; M=1 then routes
+    through the S=8 kernel instead)."""
     if not supports_kernel_layout(layer.qweight):
         return layer
     import jax.numpy as jnp
 
     md = meta_dtype if meta_dtype is not None else jnp.float32
+    g = layer.qweight.group_size
+    k = layer.qweight.shape[1]
+    pad32 = -(-k // (32 * g)) * 32 * g
+    pad_groups = 32 if (pad32 - k) * 8 <= k else 8
     return A8QuantLinear(
-        kqt=to_kernel_layout(layer.qweight, meta_dtype=md, pad_k_groups=32),
+        kqt=to_kernel_layout(layer.qweight, meta_dtype=md, pad_k_groups=pad_groups),
         bias=layer.bias,
     )
 
