@@ -208,10 +208,18 @@ class HQQModel:
     def save_quantized(self, save_dir: str) -> None:
         assert self.quantized, "quantize_model() first"
         cfg_dict = dataclasses.asdict(self.cfg)
+        cfg_cls = type(self.cfg)
         model_base.save_quantized(
             self.params,
             save_dir,
-            config={"model_type": self.model_type, "hf_config": cfg_dict},
+            config={
+                "model_type": self.model_type,
+                "hf_config": cfg_dict,
+                # records the exact dataclass so from_quantized reconstructs
+                # it generically for every registered family (no per-family
+                # if-chain)
+                "config_class": f"{cfg_cls.__module__}.{cfg_cls.__qualname__}",
+            },
         )
 
     # -- inference ----------------------------------------------------------
@@ -259,27 +267,25 @@ class HQQModelForCausalLM:
         arch = _HQQ_REGISTRY[model_type]
         hf_cfg = config.get("hf_config", {})
         # hf_config was produced by dataclasses.asdict on save: reconstruct
-        # the dataclass directly.
-        if model_type == "llama":
-            cfg = llama.LlamaConfig(**hf_cfg)
-        elif model_type == "mistral":
-            from ..models import mistral as mistral_mod
+        # the dataclass. Resolution order: (1) the exact class recorded in
+        # the sidecar, (2) the registry entry's bound `from_hf` owner class,
+        # (3) treat `config` as a plain callable on the dict (custom archs).
+        cfg = None
+        cls_path = config.get("config_class")
+        if cls_path:
+            import importlib
 
-            cfg = mistral_mod.MistralConfig(**hf_cfg)
-        elif model_type == "mixtral":
-            from ..models import mixtral as mixtral_mod
-
-            cfg = mixtral_mod.MixtralConfig(**hf_cfg)
-        elif model_type == "phi":
-            from ..models import phi as phi_mod
-
-            cfg = phi_mod.PhiConfig(**hf_cfg)
-        elif model_type == "gemma":
-            from ..models import gemma as gemma_mod
-
-            cfg = gemma_mod.GemmaConfig(**hf_cfg)
-        else:
-            cfg = arch["config"](hf_cfg)
+            try:
+                mod_name, _, cls_name = cls_path.rpartition(".")
+                cfg = getattr(importlib.import_module(mod_name), cls_name)(**hf_cfg)
+            except Exception:  # noqa: BLE001 — fall through to registry
+                cfg = None
+        if cfg is None:
+            owner = getattr(arch["config"], "__self__", None)
+            if isinstance(owner, type):
+                cfg = owner(**hf_cfg)
+            else:
+                cfg = arch["config"](hf_cfg)
         return HQQModel(params=params, cfg=cfg, model_type=model_type, quantized=True)
 
     # convenience passthroughs (≙ HQQWrapper classmethods)

@@ -31,6 +31,12 @@ class Gemma3Config(Gemma2Config):
     rope_theta: float = 1000000.0
     layer_types: Optional[tuple] = None  # from HF config; fallback 5:1 pattern
 
+    def __post_init__(self):
+        # JSON sidecars round-trip tuples as lists; keep the field hashable
+        # (configs are frozen / used as static jit args)
+        if isinstance(self.layer_types, list):
+            object.__setattr__(self, "layer_types", tuple(self.layer_types))
+
     def layer_is_sliding(self, i: int) -> bool:
         if self.layer_types is not None:
             return self.layer_types[i] == "sliding_attention"
