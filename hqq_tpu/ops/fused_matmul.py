@@ -457,12 +457,15 @@ def _qmm_a8_decode_kernel(
 
 
 def _pick_tile_n(n_pad: int, target: int) -> int:
-    """Largest multiple of 128 dividing n_pad, capped at `target`."""
+    """Largest multiple of 128 dividing n_pad, capped at `target`; falls back
+    to the whole array (always a legal block) for odd/shard-local widths."""
     t = min(target, n_pad)
     t -= t % 128
-    while t > 128 and n_pad % t:
+    while t >= 128:
+        if n_pad % t == 0:
+            return t
         t -= 128
-    return max(t, 128)
+    return n_pad
 
 
 @functools.partial(

@@ -6,6 +6,8 @@ from .tp import (  # noqa: F401
     RowParallelLinear,
     prepare_tp_llama,
     tp_forward_fn,
+    tp_paged_forward_fn,
+    tp_serving_forward_fn,
 )
 from .ring import ring_attention, ring_attention_sharded  # noqa: F401
 from .cp import cp_forward_fn  # noqa: F401

@@ -40,7 +40,14 @@ try:  # jax >= 0.7 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-__all__ = ["RowParallelLinear", "AllGatherLinear", "prepare_tp_llama", "tp_forward_fn"]
+__all__ = [
+    "RowParallelLinear",
+    "AllGatherLinear",
+    "prepare_tp_llama",
+    "tp_forward_fn",
+    "tp_paged_forward_fn",
+    "tp_serving_forward_fn",
+]
 
 
 @struct.dataclass
@@ -80,16 +87,25 @@ class AllGatherLinear:
         return jax.lax.all_gather(y, self.axis_name, axis=y.ndim - 1, tiled=True)
 
 
-def _to_fast(layer: Any, use_pallas: bool) -> Any:
+def _to_fast(layer: Any, use_pallas: bool, backend: str = "pallas") -> Any:
     """QuantLinear -> a TP-shardable form.
 
-    Preferred: PallasQuantLinear (kernel layout shards cleanly along N/K).
+    Preferred: a kernel-layout module (`pallas` bf16-operand or `w4a8`
+    int8-operand — both store W^T [K//r, N] which shards cleanly along N/K).
     Fallback: DENSE Linear from the dequantized weight — a replicated
     QuantLinear cannot sit in a column/row-parallel position (its output
     would stay global-sized while the rest of the layer runs on local
     shards)."""
     if isinstance(layer, QuantLinear):
         if use_pallas and supports_kernel_layout(layer.qweight):
+            if backend == "w4a8":
+                from ..backends.pallas_backend import A8QuantLinear
+
+                # keep the minimum K padding: shard-local K must stay a
+                # multiple of the tile unit on every rank
+                return A8QuantLinear(
+                    kqt=to_kernel_layout(layer.qweight), bias=layer.bias
+                )
             return PallasQuantLinear(kqt=to_kernel_layout(layer.qweight), bias=layer.bias)
         return Linear(weight=layer.dequantize(), bias=layer.bias)
     return layer
@@ -104,6 +120,8 @@ def _strip_bias(layer: Any) -> Tuple[Any, Optional[Array]]:
 
 def _layer_spec(layer: Any, mode: str):
     """PartitionSpec pytree for one (possibly wrapped) linear layer."""
+    from ..backends.pallas_backend import A8QuantLinear
+
     if isinstance(layer, RowParallelLinear):
         return dataclasses.replace(
             layer,
@@ -112,7 +130,7 @@ def _layer_spec(layer: Any, mode: str):
         )
     if isinstance(layer, AllGatherLinear):
         return dataclasses.replace(layer, inner=_layer_spec(layer.inner, "col"))
-    if isinstance(layer, PallasQuantLinear):
+    if isinstance(layer, (PallasQuantLinear, A8QuantLinear)):
         if mode == "col":
             kspec = dataclasses.replace(
                 layer.kqt, wq=P(None, "model"), scale=P(None, "model"), zs=P(None, "model")
@@ -136,7 +154,8 @@ def _layer_spec(layer: Any, mode: str):
 
 
 def prepare_tp_llama(
-    params: dict, cfg: LlamaConfig, mesh: Mesh, use_pallas: bool = True
+    params: dict, cfg: LlamaConfig, mesh: Mesh, use_pallas: bool = True,
+    backend: str = "pallas",
 ) -> Tuple[dict, Any, LlamaConfig]:
     """Build (tp_params, tp_param_specs, local_cfg) for `tp_forward_fn`.
 
@@ -150,18 +169,18 @@ def prepare_tp_llama(
 
     def conv_layer(layer_d: dict) -> dict:
         sa, mlp = layer_d["self_attn"], layer_d["mlp"]
-        o_proj, o_bias = _strip_bias(_to_fast(sa["o_proj"], use_pallas))
-        down, down_bias = _strip_bias(_to_fast(mlp["down_proj"], use_pallas))
+        o_proj, o_bias = _strip_bias(_to_fast(sa["o_proj"], use_pallas, backend))
+        down, down_bias = _strip_bias(_to_fast(mlp["down_proj"], use_pallas, backend))
         return {
             "self_attn": {
-                "q_proj": _to_fast(sa["q_proj"], use_pallas),
-                "k_proj": _to_fast(sa["k_proj"], use_pallas),
-                "v_proj": _to_fast(sa["v_proj"], use_pallas),
+                "q_proj": _to_fast(sa["q_proj"], use_pallas, backend),
+                "k_proj": _to_fast(sa["k_proj"], use_pallas, backend),
+                "v_proj": _to_fast(sa["v_proj"], use_pallas, backend),
                 "o_proj": RowParallelLinear(inner=o_proj, bias=o_bias),
             },
             "mlp": {
-                "gate_proj": _to_fast(mlp["gate_proj"], use_pallas),
-                "up_proj": _to_fast(mlp["up_proj"], use_pallas),
+                "gate_proj": _to_fast(mlp["gate_proj"], use_pallas, backend),
+                "up_proj": _to_fast(mlp["up_proj"], use_pallas, backend),
                 "down_proj": RowParallelLinear(inner=down, bias=down_bias),
             },
             "input_layernorm": layer_d["input_layernorm"],
@@ -174,7 +193,9 @@ def prepare_tp_llama(
         "norm": params["norm"],
     }
     if "lm_head" in params:
-        tp_params["lm_head"] = AllGatherLinear(inner=_to_fast(params["lm_head"], use_pallas))
+        tp_params["lm_head"] = AllGatherLinear(
+            inner=_to_fast(params["lm_head"], use_pallas, backend)
+        )
 
     def spec_layer(layer_d: dict) -> dict:
         sa, mlp = layer_d["self_attn"], layer_d["mlp"]
@@ -240,3 +261,71 @@ def tp_forward_fn(mesh: Mesh, tp_specs: Any, local_cfg: LlamaConfig):
             check_rep=False,
         )
     return jax.jit(fwd)
+
+
+def _shard_map(body, mesh, in_specs, out_specs):
+    try:
+        return shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_vma=False)
+    except TypeError:  # older shard_map API
+        return shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_rep=False)
+
+
+def tp_paged_forward_fn(mesh: Mesh, tp_specs: Any, local_cfg: LlamaConfig,
+                        quantize_kv: bool = False, page_size: int = 16):
+    """Jitted TP *paged* decode step: (tp_params, tokens [B,1], paged_cache,
+    lengths [B], page_indices [B,MP]) -> (logits, cache).
+
+    The page pool shards its KV-head axis over "model" —
+    [L, H/tp, P, pg, hd] per device — so page reads/writes and the paged
+    attention stay device-local; the only collectives are the Megatron psums
+    inside the layer (RowParallelLinear) and the lm_head all-gather. Batch
+    (decode slots) stays host-side, as in the single-chip engine.
+
+    ≙ what the reference gets from vLLM's TP workers
+    (`/root/reference/hqq/utils/vllm.py:111-170`), expressed as ONE SPMD
+    program instead of an NCCL process group."""
+    from ..ops.paged import PagedKVCache
+
+    pool = P(None, "model", None, None, None)
+    meta = pool if quantize_kv else None
+    # page_size is a static pytree field: the spec must carry the SAME value
+    # as the runtime cache or the treedefs mismatch inside shard_map
+    cache_spec = PagedKVCache(
+        k=pool, v=pool, k_scales=meta, v_scales=meta, page_size=page_size
+    )
+
+    def body(params, tokens, cache, lengths, page_indices):
+        return llama.forward(
+            params, local_cfg, tokens, cache, lengths, page_indices=page_indices
+        )
+
+    fwd = _shard_map(
+        body,
+        mesh,
+        in_specs=(tp_specs, P(), cache_spec, P(), P()),
+        out_specs=(P(), cache_spec),
+    )
+    return jax.jit(fwd)
+
+
+def tp_serving_forward_fn(mesh: Mesh, tp_specs: Any, local_cfg: LlamaConfig,
+                          quantize_kv: bool = False, page_size: int = 16):
+    """Combined injection point for the serving engines: dispatches a dense
+    cache (prefill / dense decode slots) to `tp_forward_fn` and a
+    `PagedKVCache` to `tp_paged_forward_fn`. Matches the engines'
+    `forward_fn(params, tokens, cache, start_pos[, page_indices])` contract.
+    Use a data=1 mesh: engine batch slots stay host-side."""
+    from ..ops.paged import PagedKVCache
+
+    dense = tp_forward_fn(mesh, tp_specs, local_cfg)
+    paged = tp_paged_forward_fn(mesh, tp_specs, local_cfg,
+                                quantize_kv=quantize_kv, page_size=page_size)
+
+    def fwd(params, tokens, cache, start_pos, page_indices=None):
+        if isinstance(cache, PagedKVCache):
+            return paged(params, tokens, cache, start_pos, page_indices)
+        return dense(params, tokens, cache, start_pos)
+
+    return fwd
