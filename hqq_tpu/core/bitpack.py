@@ -104,20 +104,50 @@ def _unpack_chunked(p: Array, packing: str, dtype) -> Array:
     return jnp.concatenate(chunks, axis=0).astype(dtype)
 
 
-def pack(w_q: Array, packing: str) -> Array:
-    """Pack integer codes (2-D, values in [0, 2^nbits)) along axis 0."""
+def pack(w_q: Array, packing: str, blocks: int = 1) -> Array:
+    """Pack integer codes (2-D, values in [0, 2^nbits)) along axis 0.
+
+    blocks > 1 chunk-splits each of ``blocks`` contiguous row-blocks
+    independently (BLOCK-LOCAL packing): a dim-0 slice at a block boundary
+    is then a self-contained packed matrix — what makes packed weights
+    column-shardable under GSPMD (`parallel/sharding.py`). blocks=1 is the
+    reference-compatible layout."""
     if packing == "8bit_u8":
         return w_q.astype(jnp.uint8)
-    return _pack_chunked(w_q, packing)
+    if blocks == 1:
+        return _pack_chunked(w_q, packing)
+    n = w_q.shape[0]
+    r = VALS_PER_WORD[packing]
+    assert n % (blocks * r) == 0, (n, blocks, r)
+    cols = w_q.shape[1:]
+    w4 = w_q.reshape(blocks, n // blocks, *cols)
+    bits = _FIELD_BITS[packing]
+    container = PACKING_CONTAINER[packing]
+    step = (n // blocks) // r
+    w4 = w4.astype(container)
+    out = w4[:, :step] << (bits * (r - 1))
+    for k in range(1, r):
+        out = out | (w4[:, k * step : (k + 1) * step] << (bits * (r - 1 - k)))
+    return out.reshape(n // r, *cols)
 
 
-def unpack(p: Array, packing: str, dtype=jnp.uint8) -> Array:
+def unpack(p: Array, packing: str, dtype=jnp.uint8, blocks: int = 1) -> Array:
     """Unpack along axis 0 into ``dtype``. 3-bit output keeps zero-padding
     rows; callers truncate to the logical row count (see
     `hqq_tpu.core.quantize.dequantize`)."""
     if packing == "8bit_u8":
         return p.astype(dtype)
-    return _unpack_chunked(p, packing, dtype)
+    if blocks == 1:
+        return _unpack_chunked(p, packing, dtype)
+    r = VALS_PER_WORD[packing]
+    bits = _FIELD_BITS[packing]
+    mask = (1 << bits) - 1
+    n_p = p.shape[0]
+    assert n_p % blocks == 0
+    p4 = p.reshape(blocks, n_p // blocks, *p.shape[1:])
+    chunks = [((p4 >> (bits * (r - 1 - k))) & mask) for k in range(r)]
+    out = jnp.concatenate(chunks, axis=1).astype(dtype)
+    return out.reshape(n_p * r, *p.shape[1:])
 
 
 def pack_host(w_q, packing: str):

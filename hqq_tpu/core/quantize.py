@@ -91,6 +91,10 @@ class QTensor:
     packing: Optional[str] = struct.field(pytree_node=False, default="4bit_u8")
     compute_dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
     channel_wise: bool = struct.field(pytree_node=False, default=True)
+    # >1: wq packed block-locally (`bitpack.pack(blocks=...)`) so contiguous
+    # dim-0 shards decode independently — set by `regroup_packed` for GSPMD
+    # column sharding. 1 = reference-compatible layout.
+    pack_blocks: int = struct.field(pytree_node=False, default=1)
 
     @property
     def out_features(self) -> int:
@@ -345,11 +349,33 @@ def unpack_codes(qt: QTensor, dtype=jnp.float32) -> Array:
     """Unpack `wq` to integer codes in group space (padding removed)."""
     if qt.packing is None:
         return qt.wq.astype(dtype)
-    w_r = bitpack.unpack(qt.wq, qt.packing, dtype)
+    w_r = bitpack.unpack(qt.wq, qt.packing, dtype, blocks=qt.pack_blocks)
     rows = _logical_rows(qt)
     if w_r.shape[0] != rows:  # 3-bit zero-padding (ref :190-195)
         w_r = w_r[:rows]
     return w_r
+
+
+def regroup_packed(qt: QTensor, blocks: int) -> QTensor:
+    """Repack `wq` block-locally into ``blocks`` contiguous row-blocks so a
+    dim-0 (out-feature) shard is a self-contained packed matrix — the TPU
+    equivalent of the reference's unpack→shard→repack loaders for vLLM TP
+    ranks (`/root/reference/hqq/utils/vllm.py:119-150`), done once before
+    `device_put`. Returns `qt` unchanged when the layout can't regroup
+    (3-bit container, row count not divisible)."""
+    if blocks <= 1 or qt.pack_blocks == blocks:
+        return qt
+    if qt.packing in (None, "8bit_u8"):  # identity containers shard as-is
+        return dataclasses.replace(qt, pack_blocks=1)
+    if qt.packing == "3bit_32":  # per-block padding would change row counts
+        return qt
+    r = bitpack.VALS_PER_WORD[qt.packing]
+    rows = _logical_rows(qt)
+    if rows % (blocks * r) != 0:
+        return qt
+    codes = unpack_codes(qt, jnp.int32)
+    wq = bitpack.pack(codes, qt.packing, blocks=blocks)
+    return dataclasses.replace(qt, wq=wq, pack_blocks=blocks)
 
 
 def dequantize(qt: QTensor, dtype=None) -> Array:

@@ -180,6 +180,7 @@ def tree_to_state(tree: Any, prefix: str = "") -> Tuple[Dict[str, Any], Any]:
                     "packing": node.packing,
                     "compute_dtype": _dtype_name(node.compute_dtype),
                     "channel_wise": node.channel_wise,
+                    "pack_blocks": node.pack_blocks,
                 },
             }
         if hasattr(node, "shape") and hasattr(node, "dtype"):
@@ -310,6 +311,7 @@ def state_to_tree(
                 packing=m["packing"],
                 compute_dtype=_DTYPE_NAMES[m["compute_dtype"]],
                 channel_wise=m.get("channel_wise", True),
+                pack_blocks=m.get("pack_blocks", 1),
             )
         if t == "array":
             return get(path)

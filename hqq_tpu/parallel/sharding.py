@@ -33,10 +33,17 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.peft import LoRALinear
-from ..core.quantize import QTensor
+from ..core.quantize import QTensor, regroup_packed
 from ..nn.linear import Linear, QuantLinear
 
-__all__ = ["llama_partition_rules", "tree_shardings", "shard_params", "COL_TAGS", "ROW_TAGS"]
+__all__ = [
+    "llama_partition_rules",
+    "tree_shardings",
+    "shard_params",
+    "regroup_for_mesh",
+    "COL_TAGS",
+    "ROW_TAGS",
+]
 
 # Megatron-style column/row split tags across ALL model families
 # (llama/mistral/mixtral: q/k/v+gate/up col, o+down row; phi: q/k/v+fc1 col,
@@ -137,15 +144,30 @@ def tree_shardings(params: Any, mesh: Mesh) -> Any:
         if isinstance(node, QuantLinear):
             specs = _linear_specs(path, node)
             qt = node.qweight
+            tp = mesh.shape.get("model", 1)
+            wq_spec = P()
+            meta_spec = P()
             if specs["mode"] == "col" and qt.axis == 1 and qt.channel_wise:
                 # group-space scale/zero rows are out-feature-major: dim-0
-                # blocks == column shards. Packed codes stay replicated (see
-                # module docstring).
+                # blocks == column shards.
                 meta_spec = P("model", None)
-            else:
-                meta_spec = P()
+                if qt.pack_blocks % tp == 0 and qt.pack_blocks > 1:
+                    # block-locally repacked (`regroup_for_mesh`): a dim-0
+                    # shard is a self-contained packed matrix -> true
+                    # Megatron column sharding of the PACKED codes, no
+                    # collectives at unpack (≙ the reference's
+                    # unpack->shard->repack vLLM loaders,
+                    # `utils/vllm.py:119-150`).
+                    wq_spec = P("model", None)
+            elif specs["mode"] == "row" and qt.axis == 1 and qt.channel_wise:
+                # the packed lane axis is the within-group (K) dim: sharding
+                # it keeps per-device bytes at global/tp; unpack is axis-0 so
+                # the layout stays decodable (GSPMD gathers lanes only where
+                # a full group is consumed)
+                if qt.wq.ndim == 2 and qt.wq.shape[1] % max(tp, 1) == 0:
+                    wq_spec = P(None, "model")
             new_qt = qt.replace(
-                wq=NamedSharding(mesh, P()),
+                wq=NamedSharding(mesh, wq_spec),
                 scale=NamedSharding(mesh, meta_spec),
                 zero=NamedSharding(mesh, meta_spec),
             )
@@ -193,8 +215,44 @@ def tree_shardings(params: Any, mesh: Mesh) -> Any:
     return struct_spec("", params)
 
 
+def regroup_for_mesh(params: Any, mesh: Mesh) -> Any:
+    """Repack every column-parallel `QTensor` block-locally (`pack_blocks =
+    tp`) so its packed codes column-shard over the mesh (see
+    `core.quantize.regroup_packed`). One-time host/device transformation,
+    run before `shard_params`."""
+    tp = mesh.shape.get("model", 1)
+    if tp <= 1:
+        return params
+
+    def visit(path: str, node: Any) -> Any:
+        if isinstance(node, LoRALinear):
+            return node.replace(base=visit(path, node.base))
+        if isinstance(node, QuantLinear):
+            mode = _linear_specs(path, node)["mode"]
+            qt = node.qweight
+            if mode == "col" and qt.axis == 1 and qt.channel_wise:
+                return node.replace(qweight=regroup_packed(qt, tp))
+            return node
+        return node
+
+    def walk(tree: Any, path: str) -> Any:
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{path}.{k}" if path else k) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [walk(v, f"{path}.{i}" if path else str(i)) for i, v in enumerate(tree)]
+        return visit(path, tree)
+
+    return walk(params, "")
+
+
 def shard_params(params: Any, mesh: Mesh) -> Any:
-    """Place a param tree onto the mesh according to the Llama rules."""
+    """Place a param tree onto the mesh according to the Llama rules.
+
+    Column-parallel packed codes are block-locally repacked first so `wq`
+    itself shards over the model axis (per-device bytes ~ global/tp) — the
+    GSPMD path's answer to the 70B north star (a 4-bit 70B is ~35 GB; it
+    must NOT be replicated per device)."""
+    params = regroup_for_mesh(params, mesh)
     shardings = tree_shardings(params, mesh)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s) if s is not None else x,
