@@ -30,10 +30,13 @@ from .llama import LlamaConfig
 __all__ = [
     "import_reference_quantized",
     "qtensor_from_reference_state",
+    "qtensor_to_reference_state",
+    "export_reference_quantized",
     "pack_rows",
     "unpack_rows",
     "export_gptq",
     "import_gptq",
+    "save_to_gptq",
 ]
 
 
@@ -211,10 +214,12 @@ def export_gptq(qt: QTensor) -> Dict[str, np.ndarray]:
         "GPTQ export requires integral zero-points (use round_zero=True)"
     )
     return {
-        "qweight": pack_rows(codes, nbits),
+        # ascontiguousarray: transposed views are Fortran-ordered and
+        # byte-dump serializers (safetensors) would write the base buffer
+        "qweight": np.ascontiguousarray(pack_rows(codes, nbits)),
         # qzeros pack along N: int32 [K/g, N/e]
-        "qzeros": pack_rows(zint.T.astype(np.int64), nbits).T.copy(),
-        "scales": scales.astype(np.float16),
+        "qzeros": np.ascontiguousarray(pack_rows(zint.T.astype(np.int64), nbits).T),
+        "scales": np.ascontiguousarray(scales.astype(np.float16)),
         "g_idx": np.arange(k, dtype=np.int32) // g,
     }
 
@@ -256,3 +261,240 @@ def import_gptq(
         packing=packing,
         compute_dtype=compute_dtype,
     )
+
+
+# ---------------------------------------------------------------------------
+# Reverse interop: EXPORT to the reference's checkpoint format (config.json
+# + qmodel.pt) so a model quantized on TPU round-trips to the GPU stack —
+# inverse of `import_reference_quantized`. Format per
+# `/root/reference/hqq/models/base.py:403-434` (torch.save of
+# {module_name: encoded state dict}) and the HQQLinear state-dict schema
+# (`/root/reference/hqq/core/quantize.py:615-680`, scalar encoding
+# `core/utils.py:36-68`).
+# ---------------------------------------------------------------------------
+
+
+def qtensor_to_reference_state(
+    qlin: QuantLinear, torch_dtype_name: str = "torch.float16"
+) -> Dict[str, Any]:
+    """Encode one QuantLinear as a reference HQQLinear state dict."""
+    import torch
+
+    from ..core import bitpack
+    from ..core.quantize import resolve_meta, unpack_codes
+
+    qt = resolve_meta(qlin.qweight)
+    if qt.pack_blocks != 1:  # undo GSPMD block-local repacking (ref layout)
+        codes = unpack_codes(qt, jnp.int32)
+        import dataclasses as _dc
+
+        qt = _dc.replace(
+            qt, wq=bitpack.pack(codes.astype(jnp.int32), qt.packing), pack_blocks=1
+        )
+    assert float(qt.nbits).is_integer(), "reference export needs integer nbits"
+
+    def enc_int(v):
+        return torch.tensor(int(v), dtype=torch.int32)
+
+    def enc_bool(v):
+        return torch.tensor(int(bool(v)), dtype=torch.uint8)
+
+    def enc_str(v):
+        return torch.tensor([ord(c) for c in v], dtype=torch.uint8)
+
+    unpack_view = {"3bit_32": "torch.int32"}.get(qt.packing, "torch.uint8")
+    n_out, k = qt.shape
+    g = qt.group_size if qt.group_size is not None else (k if qt.axis == 1 else n_out)
+    state: Dict[str, Any] = {
+        "W_q": torch.from_numpy(np.asarray(qt.wq).copy()),
+        "scale": torch.from_numpy(np.asarray(qt.scale, np.float32).copy()),
+        "zero": torch.from_numpy(np.asarray(qt.zero, np.float32).copy()),
+        "nbits": enc_int(qt.nbits),
+        "group_size": enc_int(g),
+        "shape": torch.tensor([n_out, k]),
+        "axis": enc_int(qt.axis),
+        "packing": enc_str(qt.packing),
+        "unpack_view_dtype": enc_str(unpack_view),
+        "view_as_float": enc_bool(False),
+        "quant_zero": enc_bool(False),
+        "quant_scale": enc_bool(False),
+        "compute_dtype": enc_str(torch_dtype_name),
+        "offload_meta": enc_bool(False),
+        "encoded_state_dict": enc_bool(True),
+        "stores_quant_config": enc_bool(True),
+        # weight_quant_params (keys overlap meta on purpose, as the
+        # reference's own state_dict does)
+        "channel_wise": enc_bool(qt.channel_wise),
+        "optimize": enc_bool(True),
+        "round_zero": enc_bool(int(qt.nbits) == 4),
+    }
+    if qlin.bias is not None:
+        state["bias"] = torch.from_numpy(
+            np.asarray(qlin.bias, np.float32).copy()
+        )
+    return state
+
+
+def export_reference_quantized(
+    params: dict, cfg: LlamaConfig, save_dir: str,
+    torch_dtype_name: str = "torch.float16",
+) -> None:
+    """Write a Llama-family quantized param tree as a reference-HQQ
+    checkpoint directory (config.json + qmodel.pt) loadable by
+    `AutoHQQHFModel.from_quantized` on the GPU stack."""
+    import torch
+
+    os.makedirs(save_dir, exist_ok=True)
+    hf_cfg = {
+        "architectures": ["LlamaForCausalLM"],
+        "model_type": "llama",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_hidden_layers,
+        "num_attention_heads": cfg.num_attention_heads,
+        "num_key_value_heads": cfg.num_key_value_heads,
+        "head_dim": cfg.head_dim_,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "rope_theta": cfg.rope_theta,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+        "attention_bias": cfg.attention_bias,
+        "mlp_bias": cfg.mlp_bias,
+        "hidden_act": "silu",
+        "torch_dtype": torch_dtype_name.split(".")[-1],
+    }
+    with open(os.path.join(save_dir, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=1)
+
+    def plain(name, arr):
+        return {"weight": torch.from_numpy(np.asarray(arr, np.float32).copy())}
+
+    weights: Dict[str, Any] = {
+        "model.embed_tokens": plain("embed", params["embed_tokens"]),
+        "model.norm": plain("norm", params["norm"]),
+    }
+    for i, layer in enumerate(params["layers"]):
+        p = f"model.layers.{i}"
+        for grp, tags in (("self_attn", ("q", "k", "v", "o")),
+                          ("mlp", ("gate", "up", "down"))):
+            for t in tags:
+                mod = layer[grp][f"{t}_proj"]
+                name = f"{p}.{grp}.{t}_proj"
+                if isinstance(mod, QuantLinear):
+                    weights[name] = qtensor_to_reference_state(mod, torch_dtype_name)
+                else:
+                    weights[name] = {
+                        "weight": torch.from_numpy(
+                            np.asarray(mod.weight, np.float32).copy()
+                        )
+                    }
+                    if mod.bias is not None:
+                        weights[name]["bias"] = torch.from_numpy(
+                            np.asarray(mod.bias, np.float32).copy()
+                        )
+        weights[f"{p}.input_layernorm"] = plain("ln", layer["input_layernorm"])
+        weights[f"{p}.post_attention_layernorm"] = plain(
+            "ln", layer["post_attention_layernorm"]
+        )
+    if "lm_head" in params:
+        head = params["lm_head"]
+        w = head.weight if isinstance(head, Linear) else head
+        weights["lm_head"] = {
+            "weight": torch.from_numpy(np.asarray(w, np.float32).copy())
+        }
+    torch.save(weights, os.path.join(save_dir, "qmodel.pt"))
+
+
+def save_to_gptq(params: dict, cfg: LlamaConfig, save_dir: str,
+                 shard_layers: int = 8) -> None:
+    """Model-level GPTQ export: sharded safetensors + index in AutoGPTQ/vLLM
+    conventions (qweight/qzeros/scales/g_idx per linear, fp16 elsewhere)
+    ≙ the ecosystem-facing half of `save_to_safetensors`
+    (`/root/reference/hqq/models/base.py:545-647`) combined with the
+    reference's GPTQ repack (`utils/vllm.py:80-99`). Requires axis=1 grouped
+    integral-zero quantization (round_zero=True, optimize=False)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(save_dir, exist_ok=True)
+
+    def linear_tensors(name: str, mod) -> Dict[str, np.ndarray]:
+        if isinstance(mod, QuantLinear):
+            t = export_gptq(mod.qweight)
+            out = {f"{name}.{k}": v for k, v in t.items()}
+            if mod.bias is not None:
+                out[f"{name}.bias"] = np.asarray(mod.bias, np.float16)
+            return out
+        out = {f"{name}.weight": np.asarray(mod.weight, np.float16)}
+        if mod.bias is not None:
+            out[f"{name}.bias"] = np.asarray(mod.bias, np.float16)
+        return out
+
+    shards: list[Dict[str, np.ndarray]] = []
+    current: Dict[str, np.ndarray] = {
+        "model.embed_tokens.weight": np.asarray(params["embed_tokens"], np.float16),
+    }
+    for i, layer in enumerate(params["layers"]):
+        if i and i % shard_layers == 0:
+            shards.append(current)
+            current = {}
+        p = f"model.layers.{i}"
+        for grp, tags in (("self_attn", ("q", "k", "v", "o")),
+                          ("mlp", ("gate", "up", "down"))):
+            for t in tags:
+                current.update(
+                    linear_tensors(f"{p}.{grp}.{t}_proj", layer[grp][f"{t}_proj"])
+                )
+        current[f"{p}.input_layernorm.weight"] = np.asarray(
+            layer["input_layernorm"], np.float16)
+        current[f"{p}.post_attention_layernorm.weight"] = np.asarray(
+            layer["post_attention_layernorm"], np.float16)
+    current["model.norm.weight"] = np.asarray(params["norm"], np.float16)
+    if "lm_head" in params:
+        head = params["lm_head"]
+        w = head.weight if isinstance(head, Linear) else head
+        current["lm_head.weight"] = np.asarray(w, np.float16)
+    shards.append(current)
+
+    n = len(shards)
+    weight_map = {}
+    total = 0
+    for si, shard in enumerate(shards):
+        fname = f"model-{si + 1:05d}-of-{n:05d}.safetensors"
+        save_file(shard, os.path.join(save_dir, fname))
+        for k, v in shard.items():
+            weight_map[k] = fname
+            total += v.nbytes
+    with open(os.path.join(save_dir, "model.safetensors.index.json"), "w") as f:
+        json.dump({"metadata": {"total_size": total},
+                   "weight_map": weight_map}, f, indent=1)
+
+    # quantization_config in the HF/AutoGPTQ convention
+    any_qt = next(
+        layer["self_attn"]["q_proj"].qweight
+        for layer in params["layers"]
+        if isinstance(layer["self_attn"]["q_proj"], QuantLinear)
+    )
+    hf_cfg = {
+        "architectures": ["LlamaForCausalLM"],
+        "model_type": "llama",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_hidden_layers,
+        "num_attention_heads": cfg.num_attention_heads,
+        "num_key_value_heads": cfg.num_key_value_heads,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "rope_theta": cfg.rope_theta,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+        "quantization_config": {
+            "quant_method": "gptq",
+            "bits": int(any_qt.nbits),
+            "group_size": any_qt.group_size,
+            "desc_act": False,
+            "sym": False,
+        },
+    }
+    with open(os.path.join(save_dir, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=1)

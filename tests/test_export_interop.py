@@ -1,0 +1,99 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Reverse interop: models quantized on TPU load in the GPU reference stack
+(VERDICT r1 item 7) — the inverse of tests/test_interop.py.
+
+`export_reference_quantized` writes config.json + qmodel.pt; the imported
+torch reference (`AutoHQQHFModel.from_quantized`) must load it on CPU and
+produce logits matching our forward. `save_to_gptq` writes sharded
+safetensors + index in AutoGPTQ conventions, validated by re-import."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from hqq_tpu.core.quantize import BaseQuantizeConfig
+from hqq_tpu.models import llama
+from hqq_tpu.models.base import quantize_model
+
+
+def _tiny_quantized(optimize=True, nbits=4):
+    cfg = llama.LlamaConfig.tiny(vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qcfg = BaseQuantizeConfig(nbits=nbits, group_size=32)
+    if not optimize:
+        qcfg["weight_quant_params"]["optimize"] = False
+    qparams = quantize_model(params, qcfg, compute_dtype=jnp.float32)
+    return cfg, qparams
+
+
+def test_export_reference_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    try:
+        from hqq.core.quantize import HQQBackend, HQQLinear  # type: ignore
+        from hqq.models.hf.base import AutoHQQHFModel  # type: ignore
+    except Exception:
+        pytest.skip("reference hqq not importable")
+    finally:
+        sys.path.pop(0)
+
+    from hqq_tpu.models.interop import export_reference_quantized
+
+    cfg, qparams = _tiny_quantized()
+    save_dir = str(tmp_path / "ref_export")
+    export_reference_quantized(qparams, cfg, save_dir,
+                               torch_dtype_name="torch.float32")
+    assert os.path.exists(os.path.join(save_dir, "qmodel.pt"))
+
+    HQQLinear.set_backend(HQQBackend.PYTORCH)
+    model = AutoHQQHFModel.from_quantized(
+        save_dir, compute_dtype=torch.float32, device="cpu"
+    )
+    model.eval()
+
+    tokens = np.array([[3, 17, 29, 5, 11, 2]], np.int64)
+    with torch.no_grad():
+        ref_logits = model(torch.as_tensor(tokens)).logits.float().numpy()
+
+    ours, _ = llama.forward(qparams, cfg, jnp.asarray(tokens, jnp.int32))
+    ours = np.asarray(ours, np.float32)
+    rel = np.abs(ours - ref_logits).max() / np.abs(ref_logits).max()
+    assert rel < 1e-3, f"logit mismatch after reverse export: {rel}"
+
+
+def test_save_to_gptq_model_level(tmp_path):
+    pytest.importorskip("safetensors")
+    from hqq_tpu.models.interop import import_gptq, save_to_gptq
+
+    # GPTQ needs integral zeros
+    cfg, qparams = _tiny_quantized(optimize=False)
+    save_dir = str(tmp_path / "gptq")
+    save_to_gptq(qparams, cfg, save_dir, shard_layers=1)
+
+    idx_path = os.path.join(save_dir, "model.safetensors.index.json")
+    assert os.path.exists(idx_path)
+    with open(idx_path) as f:
+        index = json.load(f)
+    assert len(set(index["weight_map"].values())) >= 2  # actually sharded
+    with open(os.path.join(save_dir, "config.json")) as f:
+        conf = json.load(f)
+    assert conf["quantization_config"]["quant_method"] == "gptq"
+    assert conf["quantization_config"]["bits"] == 4
+
+    # re-import one layer's tensors and compare dequantized weights
+    from safetensors.numpy import load_file
+
+    name = "model.layers.0.self_attn.q_proj"
+    shard = load_file(os.path.join(save_dir, index["weight_map"][f"{name}.qweight"]))
+    tensors = {k.split(".")[-1]: shard[f"{name}.{k.split('.')[-1]}"]
+               for k in (f"{name}.qweight", f"{name}.qzeros", f"{name}.scales")}
+    qt2 = import_gptq(tensors, nbits=4, group_size=32, compute_dtype=jnp.float32)
+    orig = qparams["layers"][0]["self_attn"]["q_proj"].qweight
+    w1 = np.asarray(orig.dequantize(jnp.float32))
+    w2 = np.asarray(qt2.dequantize(jnp.float32))
+    np.testing.assert_allclose(w1, w2, rtol=0, atol=2e-3)  # fp16 scales
