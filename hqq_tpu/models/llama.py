@@ -266,13 +266,17 @@ def _update_stacked_cache(
         k_all = jax.lax.dynamic_update_slice(k_all, k[None], (layer_idx, 0, 0, pos_arr, 0))
         v_all = jax.lax.dynamic_update_slice(v_all, v[None], (layer_idx, 0, 0, pos_arr, 0))
     else:
-        # Per-slot offsets (continuous batching): ONE scatter per pool per
-        # new-token column (vs B tiny updates — thousands of ops per decode
-        # step at 8 slots x 32 layers).
-        bidx = jnp.arange(k.shape[0])
-        for j in range(k.shape[2]):
-            k_all = k_all.at[layer_idx, bidx, :, pos_arr + j].set(k[:, :, j])
-            v_all = v_all.at[layer_idx, bidx, :, pos_arr + j].set(v[:, :, j])
+        # Per-slot offsets (continuous batching): ONE scatter per pool for
+        # ALL (slot, token) pairs (vs B·t tiny updates — thousands of ops per
+        # step at 8 slots × 32 layers, and t scatters per layer on the
+        # horizon/speculative multi-token paths).
+        b, t = k.shape[0], k.shape[2]
+        bidx = jnp.arange(b)[:, None]  # [B, 1]
+        tpos = pos_arr[:, None] + jnp.arange(t)[None, :]  # [B, t]
+        # advanced indices (bidx, tpos) are separated by the head slice, so
+        # the indexed dims move to the front: value layout [B, t, n_kv, hd]
+        k_all = k_all.at[layer_idx, bidx, :, tpos].set(k.transpose(0, 2, 1, 3))
+        v_all = v_all.at[layer_idx, bidx, :, tpos].set(v.transpose(0, 2, 1, 3))
     return k_all, v_all
 
 

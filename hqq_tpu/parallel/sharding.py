@@ -110,10 +110,24 @@ def _linear_specs(path: str, layer: Any) -> dict:
 
 
 def llama_partition_rules(path: str, leaf: Any) -> Any:
-    """Map one leaf (array at `path`) to a PartitionSpec."""
+    """Map one BARE-ARRAY leaf (at `path`) to a PartitionSpec.
+
+    Linears/QTensors never reach here — they are handled structurally in
+    `tree_shardings` (per-field specs). Bare arrays are the embedding, the
+    norms (all norm flavors end in `norm`), and any model-specific scalars:
+    everything except the embedding is replicated.
+
+    Note the deliberate embed/lm_head asymmetry between the two TP paths:
+    GSPMD (this module) shards `embed_tokens` on hidden P(None, "model") and
+    `lm_head` on vocab P("model", None) — GSPMD inserts the collectives —
+    while the shard_map serving path (`parallel/tp.py`) REPLICATES the
+    embedding (a [V, D] gather is cheap and the hidden dim must be whole for
+    the residual stream) and column-shards lm_head with an explicit
+    all-gather. Both are standard; they differ because serving optimizes
+    decode latency and GSPMD optimizes at-rest memory."""
     if "embed_tokens" in path:
         return P(None, "model")
-    if path.endswith(("input_layernorm", "post_attention_layernorm", "norm")):
+    if path.endswith("norm"):  # input/post_attention/pre/post_ff/q/k norms
         return P()
     return P()
 
