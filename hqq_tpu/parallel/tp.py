@@ -87,6 +87,16 @@ class AllGatherLinear:
         return jax.lax.all_gather(y, self.axis_name, axis=y.ndim - 1, tiled=True)
 
 
+def _kernel_tp_ok(qt) -> bool:
+    """Kernel layout is TP-shardable only when conversion adds NO padding:
+    padded N columns / K rows would be split across ranks as if real."""
+    n_out, k = qt.shape
+    if n_out % 128:
+        return False
+    g = qt.group_size
+    return k <= 8 * g or k % (8 * g) == 0
+
+
 def _to_fast(layer: Any, use_pallas: bool, backend: str = "pallas") -> Any:
     """QuantLinear -> a TP-shardable form.
 
@@ -95,9 +105,12 @@ def _to_fast(layer: Any, use_pallas: bool, backend: str = "pallas") -> Any:
     Fallback: DENSE Linear from the dequantized weight — a replicated
     QuantLinear cannot sit in a column/row-parallel position (its output
     would stay global-sized while the rest of the layer runs on local
-    shards)."""
+    shards), and a kernel layout that PADS N or K would shard its padding
+    as real columns/rows."""
     if isinstance(layer, QuantLinear):
-        if use_pallas and supports_kernel_layout(layer.qweight):
+        if use_pallas and supports_kernel_layout(layer.qweight) and _kernel_tp_ok(
+            layer.qweight
+        ):
             if backend == "w4a8":
                 from ..backends.pallas_backend import A8QuantLinear
 

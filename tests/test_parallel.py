@@ -201,3 +201,38 @@ def test_tp_serving_gqa_70b_shape():
     with mesh:
         out, _ = fwd(tp_params, tokens, cache, 0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_tp_serving_gqa_70b_shape_w4a8():
+    """Same 70B-shaped GQA TP as above, but through the w4a8 kernel layout —
+    the flagship '70B 4-bit tensor-sharded' config's fast path. Tolerance
+    covers the per-shard dynamic activation quantization (~1%)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.models import LlamaConfig, init_cache, init_params, quantize_model
+    from hqq_tpu.models.llama import forward
+    from hqq_tpu.parallel import make_mesh, prepare_tp_llama, tp_forward_fn
+
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=16, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+    tokens = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
+    cache_ref = init_cache(cfg, 1, 16, jnp.float32)
+    ref, _ = forward(q, cfg, tokens, cache_ref, 0)
+
+    mesh = make_mesh(data=1, model=2)
+    tp_params, tp_specs, local_cfg = prepare_tp_llama(q, cfg, mesh, backend="w4a8")
+    fwd = tp_forward_fn(mesh, tp_specs, local_cfg)
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    with mesh:
+        out, _ = fwd(tp_params, tokens, cache, 0)
+    g, r = np.asarray(out), np.asarray(ref)
+    assert np.abs(g - r).max() / np.abs(r).max() < 0.05

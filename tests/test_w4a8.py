@@ -38,7 +38,8 @@ def _make(n_out, k, g, nbits, pad_k_groups=8, seed=0):
         (8, 384, 1024, 128, 4, 8),
         (8, 256, 512, 64, 2, 8),     # 2-bit container
         (3, 256, 512, 64, 4, 8),     # odd M pads to 8
-        (40, 256, 512, 64, 4, 8),    # M>32 -> batched fallback
+        (12, 256, 512, 64, 4, 8),    # meff=16 route
+        (24, 256, 512, 64, 4, 8),    # meff=24->32 route
     ],
 )
 def test_weight_side_exact(m, n_out, k, g, nbits, pad_k):
@@ -53,6 +54,18 @@ def test_weight_side_exact(m, n_out, k, g, nbits, pad_k):
     got = np.asarray(quant_matmul_pallas_a8(x, kqt), np.float32)
     rel = np.abs(got - expected).max() / np.abs(expected).max()
     assert rel < 2e-5, f"weight-side mismatch: rel={rel}"
+
+
+def test_large_m_routes_to_bf16_kernel():
+    """M>32 (prefill) uses the bf16-operand kernel: full-precision
+    activations, output must match dequant matmul directly."""
+    w, qt, kqt = _make(256, 512, 64, 4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (40, 512), jnp.float32)
+    w_dq = np.asarray(dequantize(qt, jnp.float32))
+    expected = np.asarray(x) @ w_dq.T
+    got = np.asarray(quant_matmul_pallas_a8(x, kqt), np.float32)
+    rel = np.abs(got - expected).max() / np.abs(expected).max()
+    assert rel < 2e-5, rel
 
 
 def test_e2e_error_matches_activation_quant_only():
