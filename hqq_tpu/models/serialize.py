@@ -79,9 +79,9 @@ def tree_to_state(tree: Any, prefix: str = "") -> Tuple[Dict[str, Any], Any]:
                     "bias": rec(node.bias, f"{path}.bias"),
                 },
             }
-        if type(node).__name__ == "PallasQuantLinear":
+        if type(node).__name__ in ("PallasQuantLinear", "A8QuantLinear"):
             return {
-                "type": "PallasQuantLinear",
+                "type": type(node).__name__,
                 "children": {
                     "kqt": rec(node.kqt, f"{path}.kqt"),
                     "bias": rec(node.bias, f"{path}.bias"),
@@ -216,10 +216,11 @@ def state_to_tree(
                 qweight=rec(node["children"]["qweight"], f"{path}.qweight"),
                 bias=rec(node["children"]["bias"], f"{path}.bias"),
             )
-        if t == "PallasQuantLinear":
-            from ..backends.pallas_backend import PallasQuantLinear
+        if t in ("PallasQuantLinear", "A8QuantLinear"):
+            from ..backends.pallas_backend import A8QuantLinear, PallasQuantLinear
 
-            return PallasQuantLinear(
+            cls_ = PallasQuantLinear if t == "PallasQuantLinear" else A8QuantLinear
+            return cls_(
                 kqt=rec(node["children"]["kqt"], f"{path}.kqt"),
                 bias=rec(node["children"]["bias"], f"{path}.bias"),
             )

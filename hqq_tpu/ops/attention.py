@@ -6,7 +6,7 @@ O(T^2) HBM for prefill. On TPU we dispatch long-sequence prefill to the
 production Pallas flash-attention kernel (`jax.experimental.pallas.ops.tpu.
 flash_attention` — tiled online-softmax, scores never leave VMEM); elsewhere
 (CPU tests, short sequences where kernel overhead dominates) the naive path
-is used. See /opt/skills/guides/boom_attention_tricks.md for the kernel
+is used. See the JAX Pallas TPU attention kernels for the kernel
 design background.
 """
 

@@ -4,7 +4,7 @@
 The sequence dimension is sharded across the "model" axis; K/V shards rotate
 around the ring with `ppermute` while every device keeps an online-softmax
 accumulator for its local Q shard, so communication overlaps compute and no
-device ever materializes the full sequence (boom_attention_tricks.md §15-16;
+device ever materializes the full sequence (blockwise ring attention;
 the reference library has nothing in this space — SURVEY §5.7 calls it out
 as the required TPU-native addition for long-context scaling).
 

@@ -10,7 +10,7 @@ block table, the vLLM idea rebuilt TPU-native:
   in place with `dynamic_update_slice` (scan-carry friendly),
 * decode attention runs the production Pallas paged-attention kernel
   (`jax.experimental.pallas.ops.tpu.paged_attention` — async page DMA,
-  double buffering, megacore; see boom_attention_tricks.md §8-13) on TPU and
+  double buffering, megacore) on TPU and
   a gather-based reference implementation elsewhere,
 * prefill reuses the dense model forward into a mini cache, then splices it
   page-by-page into the pool,

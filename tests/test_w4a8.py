@@ -139,3 +139,23 @@ def test_prepare_for_inference_w4a8_and_fuse():
         jnp.max(jnp.abs(got_logits - ref_logits)) / jnp.max(jnp.abs(ref_logits))
     )
     assert rel < 0.05, f"w4a8 decode path deviates: {rel}"
+
+
+def test_a8_serialization_roundtrip(tmp_path):
+    """prepare_for_inference('w4a8') trees save/load with identical logits
+    (≙ fused-backend serialization, ref state_dict round trips)."""
+    from hqq_tpu.models import llama
+    from hqq_tpu.models.base import from_quantized, quantize_model, save_quantized
+    from hqq_tpu.utils.patching import prepare_for_inference
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+    a8 = prepare_for_inference(q, "w4a8")
+    save_quantized(a8, str(tmp_path / "a8"))
+    loaded, _ = from_quantized(str(tmp_path / "a8"))
+    tokens = jnp.asarray([[3, 7, 11]], jnp.int32)
+    l1, _ = llama.forward(a8, cfg, tokens)
+    l2, _ = llama.forward(loaded, cfg, tokens)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=0, atol=1e-5)
