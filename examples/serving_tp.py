@@ -43,3 +43,32 @@ tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
 with mesh:
     logits, cache = fwd(tp_params, tokens, cache, 0)
 print("TP logits:", logits.shape, "finite:", bool(jnp.isfinite(logits).all()))
+
+# ---- TP through the serving engines (round 2): both continuous-batching
+# engines take the same sharded forward via `forward_fn` — ≙ what vLLM's TP
+# workers give the reference, as ONE SPMD program ----
+from hqq_tpu.parallel import tp_serving_forward_fn
+from hqq_tpu.serving.batching import ContinuousBatchingEngine
+from hqq_tpu.serving.paged import PagedBatchingEngine
+
+sfwd = tp_serving_forward_fn(mesh, tp_specs, local_cfg, page_size=4)
+
+eng = ContinuousBatchingEngine(tp_params, cfg, batch_slots=2, max_len=32,
+                               cache_dtype=jnp.float32, forward_fn=sfwd)
+eng.add_request([1, 2, 3], max_new_tokens=4)
+eng.add_request([5, 6], max_new_tokens=4)
+print("TP dense engine:", eng.run())
+
+peng = PagedBatchingEngine(tp_params, cfg, batch_slots=2, num_pages=16,
+                           page_size=4, max_pages_per_seq=4,
+                           cache_dtype=jnp.float32, forward_fn=sfwd)
+peng.add_request([1, 2, 3], max_new_tokens=4)
+print("TP paged engine:", peng.run())
+
+# Multi-host note: on a pod slice, call `hqq_tpu.parallel.init_multihost()`
+# first, build the mesh over all devices, and run THIS SAME script in every
+# host process. The engines' host-side scheduling (slot assignment, page
+# tables, admission) is deterministic pure-Python over identical inputs, so
+# every host takes identical decisions and the jitted steps run as one SPMD
+# program over the global mesh — no scheduler RPC needed (feed all hosts the
+# same request stream, e.g. via a shared queue with a deterministic order).

@@ -83,3 +83,25 @@ def test_vit_quantize_and_engine_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(logits_l), np.asarray(logits_q), rtol=1e-5, atol=1e-5
     )
+
+
+def test_vit_w4a8_backend():
+    """Vision models serve through the w4a8 backend like the LLMs."""
+    import numpy as np
+
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.models import vit
+    from hqq_tpu.models.base import quantize_model
+    from hqq_tpu.utils.patching import prepare_for_inference
+
+    cfg = vit.ViTConfig.tiny()
+    params = vit.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+    pixels = jax.random.normal(jax.random.PRNGKey(1),
+                               (1, 3, cfg.image_size, cfg.image_size), jnp.float32)
+    ref, _ = vit.forward(q, cfg, pixels)
+    a8 = prepare_for_inference(q, "w4a8")
+    got, _ = vit.forward(a8, cfg, pixels)
+    rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+    assert np.isfinite(rel) and rel < 0.05, rel
