@@ -37,6 +37,7 @@ __all__ = [
     "export_gptq",
     "import_gptq",
     "save_to_gptq",
+    "load_gptq",
 ]
 
 
@@ -498,3 +499,79 @@ def save_to_gptq(params: dict, cfg: LlamaConfig, save_dir: str,
     }
     with open(os.path.join(save_dir, "config.json"), "w") as f:
         json.dump(hf_cfg, f, indent=1)
+
+
+def load_gptq(
+    model_dir: str, compute_dtype=jnp.bfloat16
+) -> Tuple[dict, LlamaConfig]:
+    """Load a GPTQ-convention Llama checkpoint directory (sharded safetensors
+    + index + HF config with `quantization_config`) into an hqq_tpu param
+    pytree — the entry point for the large AutoGPTQ/vLLM checkpoint
+    ecosystem (and the inverse of `save_to_gptq`). Quantized linears become
+    `QuantLinear`s ready for `prepare_for_inference("w4a8")`."""
+    from safetensors.numpy import load_file
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = LlamaConfig.from_hf(hf_cfg)
+    qc = hf_cfg.get("quantization_config", {})
+    nbits = int(qc.get("bits", 4))
+    group_size = int(qc.get("group_size", 128))
+
+    idx_path = os.path.join(model_dir, "model.safetensors.index.json")
+    tensors: Dict[str, np.ndarray] = {}
+    if os.path.exists(idx_path):
+        with open(idx_path) as f:
+            index = json.load(f)
+        for fname in sorted(set(index["weight_map"].values())):
+            tensors.update(load_file(os.path.join(model_dir, fname)))
+    else:
+        tensors.update(load_file(os.path.join(model_dir, "model.safetensors")))
+
+    def get_linear(name: str):
+        if f"{name}.qweight" in tensors:
+            qt = import_gptq(
+                {k: tensors[f"{name}.{k}"] for k in ("qweight", "qzeros", "scales")},
+                nbits=nbits,
+                group_size=group_size,
+                compute_dtype=compute_dtype,
+            )
+            bias = tensors.get(f"{name}.bias")
+            return QuantLinear(
+                qweight=qt,
+                bias=None if bias is None else jnp.asarray(bias, compute_dtype),
+            )
+        w = jnp.asarray(tensors[f"{name}.weight"], compute_dtype)
+        bias = tensors.get(f"{name}.bias")
+        return Linear(
+            weight=w,
+            bias=None if bias is None else jnp.asarray(bias, compute_dtype),
+        )
+
+    def arr(name):
+        return jnp.asarray(tensors[name], compute_dtype)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        layers.append({
+            "self_attn": {
+                f"{t}_proj": get_linear(f"{p}.self_attn.{t}_proj")
+                for t in ("q", "k", "v", "o")
+            },
+            "mlp": {
+                f"{t}_proj": get_linear(f"{p}.mlp.{t}_proj")
+                for t in ("gate", "up", "down")
+            },
+            "input_layernorm": arr(f"{p}.input_layernorm.weight"),
+            "post_attention_layernorm": arr(f"{p}.post_attention_layernorm.weight"),
+        })
+
+    params = {
+        "embed_tokens": arr("model.embed_tokens.weight"),
+        "layers": layers,
+        "norm": arr("model.norm.weight"),
+    }
+    if "lm_head.weight" in tensors:
+        params["lm_head"] = Linear(weight=arr("lm_head.weight"))
+    return params, cfg

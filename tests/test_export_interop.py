@@ -97,3 +97,23 @@ def test_save_to_gptq_model_level(tmp_path):
     w1 = np.asarray(orig.dequantize(jnp.float32))
     w2 = np.asarray(qt2.dequantize(jnp.float32))
     np.testing.assert_allclose(w1, w2, rtol=0, atol=2e-3)  # fp16 scales
+
+
+def test_load_gptq_model_level(tmp_path):
+    """save_to_gptq -> load_gptq round-trips a whole model: logits match
+    (fp16 scale storage tolerance). The same loader serves AutoGPTQ
+    ecosystem checkpoints."""
+    pytest.importorskip("safetensors")
+    from hqq_tpu.models.interop import load_gptq, save_to_gptq
+
+    cfg, qparams = _tiny_quantized(optimize=False)
+    save_dir = str(tmp_path / "gptq_model")
+    save_to_gptq(qparams, cfg, save_dir, shard_layers=1)
+    loaded, cfg2 = load_gptq(save_dir, compute_dtype=jnp.float32)
+    assert cfg2.num_hidden_layers == cfg.num_hidden_layers
+
+    tokens = jnp.asarray([[3, 17, 29, 5]], jnp.int32)
+    ref, _ = llama.forward(qparams, cfg, tokens)
+    got, _ = llama.forward(loaded, cfg2, tokens)
+    rel = np.abs(np.asarray(got) - np.asarray(ref)).max() / np.abs(np.asarray(ref)).max()
+    assert rel < 5e-3, rel
