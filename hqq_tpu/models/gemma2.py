@@ -90,9 +90,16 @@ def _attention(
 ):
     b, t, d = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
-    q = layer["q_proj"](x).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
-    k = layer["k_proj"](x).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
-    v = layer["v_proj"](x).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    if "qkv_proj" in layer:
+        qkv = layer["qkv_proj"](x)
+        q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
+        q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    else:
+        q = layer["q_proj"](x).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        k = layer["k_proj"](x).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+        v = layer["v_proj"](x).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
     q = llama._apply_rope(q, cos, sin)
     k = llama._apply_rope(k, cos, sin)
 
@@ -126,9 +133,14 @@ def _attention_paged(layer, cfg, x, cache, layer_idx, lengths, page_indices,
 
     b = x.shape[0]
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
-    q = layer["q_proj"](x).reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
-    k = layer["k_proj"](x).reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
-    v = layer["v_proj"](x).reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
+    if "qkv_proj" in layer:
+        qkv = layer["qkv_proj"](x)
+        q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
+    else:
+        q, k, v = layer["q_proj"](x), layer["k_proj"](x), layer["v_proj"](x)
+    q = q.reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
     if "q_norm" in layer:  # gemma3
         q = _gemma_norm(q, layer["q_norm"], cfg.rms_norm_eps)
         k = _gemma_norm(k, layer["k_norm"], cfg.rms_norm_eps)

@@ -56,9 +56,16 @@ def _attention(layer, cfg, x, k_all, v_all, layer_idx, start_pos, mask, cos, sin
                cached: bool):
     b, t, d = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
-    q = layer["q_proj"](x).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
-    k = layer["k_proj"](x).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
-    v = layer["v_proj"](x).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    if "qkv_proj" in layer:
+        qkv = layer["qkv_proj"](x)
+        q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
+        q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    else:
+        q = layer["q_proj"](x).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        k = layer["k_proj"](x).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+        v = layer["v_proj"](x).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
     q = llama._apply_rope(q, cos, sin)
     k = llama._apply_rope(k, cos, sin)
     if cached:

@@ -174,7 +174,8 @@ def _concat_linears(layers):
 
 def fuse_for_decode(params: Any, pad_to: int = 512) -> Any:
     """Fuse per-layer q/k/v into one `qkv_proj` and gate/up into one
-    `gate_up_proj` (Llama-family trees). One wide matmul feeds the MXU far
+    `gate_up_proj` (Llama-family trees incl. gemma2/3 and granite; olmo2 is
+    excluded — it norms the flat projection output). One wide matmul feeds the MXU far
     better than three narrow ones at decode batch sizes (measured: int8 dot
     at N=12288 runs ~1.75x the bytes/s of N=4096). Run AFTER
     `prepare_for_inference(backend="int8")`. ≙ the reference's merged-QKV
@@ -183,6 +184,8 @@ def fuse_for_decode(params: Any, pad_to: int = 512) -> Any:
     def fuse_layer(layer: dict) -> dict:
         out = dict(layer)
         sa = layer.get("self_attn")
+        if isinstance(sa, dict) and "q_norm_flat" in sa:
+            return out  # olmo2-style flat-projection norms: can't fuse qkv
         if isinstance(sa, dict) and all(k in sa for k in ("q_proj", "k_proj", "v_proj")):
             fused = _concat_linears([sa["q_proj"], sa["k_proj"], sa["v_proj"]])
             if fused is not None:

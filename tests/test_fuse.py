@@ -125,3 +125,33 @@ def test_fused_lora_pallas_backend(rng):
     ref, _ = forward(lp, cfg, tok)
     out, _ = forward(fused, cfg, tok)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_fuse_for_decode_gemma2_granite():
+    """qkv/gate_up fusion works beyond llama: gemma2 (sandwich norms,
+    softcap) and granite decode identically fused vs unfused."""
+    import jax
+    import numpy as np
+
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.models import gemma2, granite, llama
+    from hqq_tpu.models.base import quantize_model
+    from hqq_tpu.utils.patching import fuse_for_decode, prepare_for_inference
+
+    for mod, cfg, init in (
+        (gemma2, gemma2.Gemma2Config.tiny(), gemma2.init_params),
+        (granite, granite.GraniteConfig.tiny(),
+         lambda c, k, dtype: llama.init_params(c, k, dtype)),
+    ):
+        params = init(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                           compute_dtype=jnp.float32)
+        tokens = jnp.asarray([[3, 7, 11, 2]], jnp.int32)
+        cache1 = llama.init_cache(cfg, 1, 16, jnp.float32)
+        ref, _ = mod.forward(q, cfg, tokens, cache1, 0)
+        fused = fuse_for_decode(prepare_for_inference(q, "w4a8"), pad_to=0)
+        assert "qkv_proj" in fused["layers"][0]["self_attn"], mod.__name__
+        cache2 = llama.init_cache(cfg, 1, 16, jnp.float32)
+        got, _ = mod.forward(fused, cfg, tokens, cache2, 0)
+        rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+        assert rel < 0.05, (mod.__name__, rel)
