@@ -60,6 +60,7 @@ class ContinuousBatchingEngine:
         eos_token_id: Optional[int] = None,
         do_sample: bool = False,
         top_k: int = 20,
+        top_p: float = 1.0,
         temperature: float = 0.6,
         cache_dtype=jnp.bfloat16,
         forward_fn: Optional[Callable] = None,
@@ -73,6 +74,7 @@ class ContinuousBatchingEngine:
         self.eos = eos_token_id
         self.do_sample = do_sample
         self.top_k = top_k
+        self.top_p = top_p
         self.temperature = temperature
         self._fwd = forward_fn or (
             lambda p, toks, cache, pos: llama.forward(p, cfg, toks, cache, pos)
@@ -116,7 +118,8 @@ class ContinuousBatchingEngine:
         logits, cache = self._fwd(params, tokens[:, None], cache, pos)
         key, sub = jax.random.split(key)
         nxt = sample_token(
-            logits[:, -1], sub, self.do_sample, self.top_k, self.temperature
+            logits[:, -1], sub, self.do_sample, self.top_k, self.temperature,
+            self.top_p,
         )
         return nxt.astype(jnp.int32), cache, key
 
@@ -134,7 +137,8 @@ class ContinuousBatchingEngine:
             logits, cache = self._fwd(params, tok[:, None], cache, pos)
             key, sub = jax.random.split(key)
             nxt = sample_token(
-                logits[:, -1], sub, self.do_sample, self.top_k, self.temperature
+                logits[:, -1], sub, self.do_sample, self.top_k, self.temperature,
+                self.top_p,
             ).astype(jnp.int32)
             return (nxt, cache, pos + 1, key), nxt
 
@@ -195,7 +199,8 @@ class ContinuousBatchingEngine:
         )
         self._key, sub = jax.random.split(self._key)
         first = sample_token(
-            logits[:, t - 1], sub, self.do_sample, self.top_k, self.temperature
+            logits[:, t - 1], sub, self.do_sample, self.top_k, self.temperature,
+            self.top_p,
         )
         from ..utils.profiling import log_event
 

@@ -116,6 +116,7 @@ class PagedBatchingEngine:
         eos_token_id: Optional[int] = None,
         do_sample: bool = False,
         top_k: int = 20,
+        top_p: float = 1.0,
         temperature: float = 0.6,
         cache_dtype=jnp.bfloat16,
         quantize_kv: bool = False,
@@ -142,6 +143,7 @@ class PagedBatchingEngine:
         self.eos = eos_token_id
         self.do_sample = do_sample
         self.top_k = top_k
+        self.top_p = top_p
         self.temperature = temperature
 
         self.cache = init_paged_cache(cfg, num_pages, page_size, cache_dtype,
@@ -179,7 +181,7 @@ class PagedBatchingEngine:
         logits, cache = self._fwd(params, tokens[:, None], cache, lengths, page_tab)
         key, sub = jax.random.split(key)
         nxt = sample_token(logits[:, -1], sub, self.do_sample, self.top_k,
-                           self.temperature)
+                           self.temperature, self.top_p)
         return nxt.astype(jnp.int32), cache, key
 
     def _decode_horizon_impl(self, params, tokens, cache, lengths, page_tab, key, *, steps):
@@ -191,7 +193,8 @@ class PagedBatchingEngine:
             logits, cache = self._fwd(params, tok[:, None], cache, lengths, page_tab)
             key, sub = jax.random.split(key)
             nxt = sample_token(
-                logits[:, -1], sub, self.do_sample, self.top_k, self.temperature
+                logits[:, -1], sub, self.do_sample, self.top_k, self.temperature,
+                self.top_p,
             ).astype(jnp.int32)
             return (nxt, cache, lengths + 1, key), nxt
 
@@ -241,7 +244,8 @@ class PagedBatchingEngine:
 
         self._key, sub = jax.random.split(self._key)
         first = sample_token(
-            logits[:, t - 1], sub, self.do_sample, self.top_k, self.temperature
+            logits[:, t - 1], sub, self.do_sample, self.top_k, self.temperature,
+            self.top_p,
         )
         req.slot = slot
         req.output = [int(first[0])]
