@@ -160,6 +160,13 @@ def _register_mixtral():
         "forward": mixtral_mod.forward,
         "loader": mixtral_mod.params_from_hf_state_dict,
     }
+    from ..models import qwen3_moe as q3moe_mod
+
+    _HQQ_REGISTRY["qwen3_moe"] = {
+        "config": q3moe_mod.Qwen3MoeConfig.from_hf,
+        "forward": q3moe_mod.forward,
+        "loader": q3moe_mod.params_from_hf_state_dict,
+    }
 
 
 _register_mixtral()

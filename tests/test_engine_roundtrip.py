@@ -67,6 +67,11 @@ def _build(model_type):
 
         cfg = gemma3.Gemma3Config.tiny()
         params = gemma3.init_params(cfg, key, dtype=jnp.float32)
+    elif model_type == "qwen3_moe":
+        from hqq_tpu.models import qwen3_moe
+
+        cfg = qwen3_moe.Qwen3MoeConfig.tiny()
+        params = qwen3_moe.init_params(cfg, key, dtype=jnp.float32)
     elif model_type == "mixtral":
         from hqq_tpu.models import mixtral
 
