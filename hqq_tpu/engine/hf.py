@@ -64,6 +64,15 @@ def _register_phi():
         "forward": phi_mod.forward,
         "loader": phi_mod.params_from_hf_state_dict,
     }
+    # Phi-3: natively fused qkv/gate_up — ≙ the reference's hand-built
+    # merged-QKV variant (`models/hf/phi_opt.py:8-57`), shipped by HF
+    from ..models import phi3 as phi3_mod
+
+    _HQQ_REGISTRY["phi3"] = {
+        "config": phi3_mod.Phi3Config.from_hf,
+        "forward": phi3_mod.forward,
+        "loader": phi3_mod.params_from_hf_state_dict,
+    }
 
 
 def _register_qwen2():

@@ -32,6 +32,11 @@ def _build(model_type):
 
         cfg = granite.GraniteConfig.tiny()
         params = llama.init_params(cfg, key, dtype=jnp.float32)
+    elif model_type == "phi3":
+        from hqq_tpu.models import phi3
+
+        cfg = phi3.Phi3Config.tiny()
+        params = phi3.init_params(cfg, key, dtype=jnp.float32)
     elif model_type == "phi":
         from hqq_tpu.models import phi
 

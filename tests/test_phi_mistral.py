@@ -173,3 +173,51 @@ def test_phi_quantize_model():
         np.abs(np.asarray(logits_fp)).mean() + 1e-9
     )
     assert rel < 0.5
+
+
+def test_phi3_hf_parity():
+    """Phi-3's native fused qkv/gate_up map straight onto llama.forward's
+    fused-layer contract."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from hqq_tpu.models import phi3
+
+    hf_cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = transformers.Phi3ForCausalLM(hf_cfg).eval().float()
+
+    cfg = phi3.Phi3Config.from_hf(hf_cfg.to_dict())
+    params = phi3.params_from_hf_state_dict(
+        dict(model.state_dict()), cfg, dtype=jnp.float32
+    )
+    toks = np.array([[3, 14, 15, 92, 65, 35]], np.int64)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(toks)).logits.numpy()
+    ours, _ = phi3.forward(params, cfg, jnp.asarray(toks, jnp.int32))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_phi3_quantize_decode_w4a8():
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.models import llama, phi3
+    from hqq_tpu.models.base import quantize_model
+    from hqq_tpu.utils.patching import prepare_for_inference
+
+    cfg = phi3.Phi3Config.tiny()
+    params = phi3.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+    toks = jnp.asarray([[3, 7, 11, 2]], jnp.int32)
+    cache = phi3.init_cache(cfg, 1, 16, jnp.float32)
+    ref, _ = phi3.forward(q, cfg, toks, cache, 0)
+    a8 = prepare_for_inference(q, "w4a8")
+    cache2 = phi3.init_cache(cfg, 1, 16, jnp.float32)
+    got, _ = phi3.forward(a8, cfg, toks, cache2, 0)
+    rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 0.05, rel
