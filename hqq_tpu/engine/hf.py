@@ -176,6 +176,13 @@ def _register_mixtral():
         "forward": q3moe_mod.forward,
         "loader": q3moe_mod.params_from_hf_state_dict,
     }
+    from ..models import cohere as cohere_mod
+
+    _HQQ_REGISTRY["cohere"] = {
+        "config": cohere_mod.CohereConfig.from_hf,
+        "forward": cohere_mod.forward,
+        "loader": cohere_mod.params_from_hf_state_dict,
+    }
 
 
 _register_mixtral()

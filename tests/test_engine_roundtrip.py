@@ -72,6 +72,11 @@ def _build(model_type):
 
         cfg = gemma3.Gemma3Config.tiny()
         params = gemma3.init_params(cfg, key, dtype=jnp.float32)
+    elif model_type == "cohere":
+        from hqq_tpu.models import cohere
+
+        cfg = cohere.CohereConfig.tiny()
+        params = cohere.init_params(cfg, key, dtype=jnp.float32)
     elif model_type == "qwen3_moe":
         from hqq_tpu.models import qwen3_moe
 
