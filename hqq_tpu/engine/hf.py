@@ -218,8 +218,9 @@ class HQQModel:
     def prepare_for_inference(
         self, backend: str = "pallas", fuse: bool = False
     ) -> "HQQModel":
-        """Swap to a fused backend; `fuse=True` additionally merges q/k/v and
-        gate/up into wide decode matmuls (int8 backend, Llama-family)."""
+        """Swap to a fused backend ("w4a8" is the fast decode path);
+        `fuse=True` additionally merges q/k/v and gate/up into wide decode
+        matmuls (Llama-family trees incl. gemma2/3 and granite)."""
         from ..utils.patching import fuse_for_decode, prepare_for_inference
 
         self.params = prepare_for_inference(self.params, backend)

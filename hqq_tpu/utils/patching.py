@@ -18,6 +18,10 @@ on TPU to:
                reference's experimental int8 path done as a prepared module;
                stores 8-bit weights — 2× the HBM bytes of w4a8)
 
+Axis=0 quantized layers have no fused kernel (same restriction as every
+reference fused backend) — serve them through "int8" (the one-time requant
+accepts any layout) or "xla".
+
 LoRA-wrapped layers convert their base in place (≙ ref `:26-50`).
 Also provides `patch_merge_zeros_with_lora` math helpers' analogue:
 `merge_zeros_into_lora` folds asymmetric zero-points into a rank+1 adapter so

@@ -113,3 +113,28 @@ def test_tp_dense_w4a8_backend_forward(setup):
     g, r = np.asarray(got), np.asarray(ref)
     denom = np.abs(r).max()
     assert np.abs(g - r).max() / denom < 0.05, np.abs(g - r).max() / denom
+
+
+def test_tp_paged_engine_70b_shape_gqa():
+    """The north-star serving config in miniature: GQA 70B head ratios
+    (nh = 8×nkv), 4-bit weights TP-sharded, paged continuous batching on the
+    mesh — token-for-token equal to the single-device paged engine."""
+    cfg = llama.LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=16, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qparams = quantize_model(
+        params, BaseQuantizeConfig(nbits=4, group_size=32), compute_dtype=jnp.float32
+    )
+    mesh = make_mesh(data=1, model=2)
+    tp_params, tp_specs, local_cfg = prepare_tp_llama(qparams, cfg, mesh)
+    kw = dict(batch_slots=2, num_pages=32, page_size=4, max_pages_per_seq=8,
+              cache_dtype=jnp.float32)
+    ref = _run(PagedBatchingEngine(
+        prepare_for_inference(qparams, "pallas"), cfg, **kw
+    ))
+    fwd = tp_serving_forward_fn(mesh, tp_specs, local_cfg, page_size=4)
+    got = _run(PagedBatchingEngine(tp_params, cfg, forward_fn=fwd, **kw))
+    assert got == ref
