@@ -164,3 +164,36 @@ def test_engine_with_mixtral_forward(rng):
         eng.add_request(list(rng.integers(1, 256, (n,))), max_new_tokens=6)
     res = eng.run()
     assert len(res) == 3 and all(len(v) == 6 for v in res.values())
+
+
+def test_dense_engine_non_llama_family():
+    """The dense engine is family-generic through forward_fn (gemma2:
+    sandwich norms + softcap): engine output token-for-token equals manual
+    greedy decoding."""
+    import jax
+
+    from hqq_tpu.models import gemma2, llama
+
+    cfg = gemma2.Gemma2Config.tiny()
+    params = gemma2.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    prompt = [3, 17, 29, 5]
+    n_new = 5
+
+    cache = llama.init_cache(cfg, 1, 64, jnp.float32)
+    toks = jnp.asarray([prompt], jnp.int32)
+    logits, cache = gemma2.forward(params, cfg, toks, cache, 0)
+    ref = [int(jnp.argmax(logits[0, len(prompt) - 1]))]
+    pos = len(prompt)
+    for _ in range(n_new - 1):
+        logits, cache = gemma2.forward(
+            params, cfg, jnp.asarray([[ref[-1]]], jnp.int32), cache, pos
+        )
+        ref.append(int(jnp.argmax(logits[0, -1])))
+        pos += 1
+
+    eng = ContinuousBatchingEngine(
+        params, cfg, batch_slots=2, max_len=64, cache_dtype=jnp.float32,
+        forward_fn=lambda p, t, c, s: gemma2.forward(p, cfg, t, c, s),
+    )
+    uid = eng.add_request(prompt, max_new_tokens=n_new)
+    assert eng.run()[uid] == ref
