@@ -230,6 +230,25 @@ class ContinuousBatchingEngine:
             del self.active[slot]
             self._live[slot] = False
 
+    def cancel(self, uid: int) -> bool:
+        """Cancel a queued or running request. Returns True if found. A
+        running request finishes immediately with the tokens produced so far
+        (its slot frees on the next step)."""
+        for i, req in enumerate(self.queue):
+            if req.uid == uid:
+                del self.queue[i]
+                req.done = True
+                self.finished[uid] = req
+                return True
+        for slot, req in list(self.active.items()):
+            if req.uid == uid:
+                req.done = True
+                self.finished[uid] = req
+                del self.active[slot]
+                self._live[slot] = False
+                return True
+        return False
+
     def _schedule(self) -> None:
         for slot in range(self.s):
             if not self._live[slot] and self.queue:

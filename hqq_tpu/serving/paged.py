@@ -247,6 +247,10 @@ class PagedBatchingEngine:
             logits[:, t - 1], sub, self.do_sample, self.top_k, self.temperature,
             self.top_p,
         )
+        from ..utils.profiling import log_event
+
+        log_event("request_admitted", uid=req.uid, slot=slot, prompt_len=t,
+                  pages=len(pages))
         req.slot = slot
         req.output = [int(first[0])]
         self.active[slot] = req
@@ -274,11 +278,34 @@ class PagedBatchingEngine:
             or len(req.output) >= req.max_new_tokens
             or out_of_pages
         ):
+            from ..utils.profiling import log_event
+
+            log_event("request_finished", uid=req.uid, slot=slot,
+                      n_tokens=len(req.output))
             req.done = True
             self.finished[req.uid] = req
             del self.active[slot]
             self._live[slot] = False
             self._release(slot)
+
+    def cancel(self, uid: int) -> bool:
+        """Cancel a queued or running request; running requests release
+        their pages immediately. Returns True if found."""
+        for i, req in enumerate(self.queue):
+            if req.uid == uid:
+                del self.queue[i]
+                req.done = True
+                self.finished[uid] = req
+                return True
+        for slot, req in list(self.active.items()):
+            if req.uid == uid:
+                req.done = True
+                self.finished[uid] = req
+                del self.active[slot]
+                self._live[slot] = False
+                self._release(slot)
+                return True
+        return False
 
     def _schedule(self) -> None:
         """Fill free slots from the queue. Admission scans past requests that

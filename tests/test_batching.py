@@ -197,3 +197,37 @@ def test_dense_engine_non_llama_family():
     )
     uid = eng.add_request(prompt, max_new_tokens=n_new)
     assert eng.run()[uid] == ref
+
+
+def test_cancel_queued_and_running():
+    """cancel() removes queued requests and frees running slots (pages too,
+    in the paged engine)."""
+    import jax
+
+    from hqq_tpu.models import llama
+    from hqq_tpu.serving.paged import PagedBatchingEngine
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+
+    eng = ContinuousBatchingEngine(params, cfg, batch_slots=1, max_len=64,
+                                   cache_dtype=jnp.float32)
+    a = eng.add_request([1, 2, 3], max_new_tokens=50)
+    b = eng.add_request([4, 5], max_new_tokens=4)
+    eng.step()  # admits a
+    assert eng.cancel(a)      # running
+    assert not eng.cancel(999)
+    outs = eng.run()
+    assert set(outs) == {a, b} and len(outs[b]) == 4
+
+    peng = PagedBatchingEngine(params, cfg, batch_slots=1, num_pages=16,
+                               page_size=4, max_pages_per_seq=16,
+                               cache_dtype=jnp.float32)
+    free0 = len(peng.free_pages)
+    big = peng.add_request([1] * 4, max_new_tokens=40)
+    small = peng.add_request([2, 3], max_new_tokens=4)
+    peng.step()
+    assert peng.cancel(big)
+    assert len(peng.free_pages) == free0  # pages released
+    outs = peng.run()
+    assert len(outs[small]) == 4
