@@ -72,16 +72,22 @@ def paged_decode_step(
 
 
 def splice_prefill_into_pages(
-    cache: PagedKVCache, mini: llama.KVCache, pages: List[int], t_real: int
+    cache: PagedKVCache, mini: llama.KVCache, pages: List[int], t_real: int,
+    start_tok: int = 0,
 ) -> PagedKVCache:
-    """Copy a dense prefill mini-cache [L, 1, H, T_pad, hd] into `pages`."""
+    """Copy a dense prefill mini-cache [L, 1, H, T_pad, hd] into `pages`.
+
+    `start_tok` (a page multiple) skips the leading tokens — used by prefix
+    caching, where the leading pages already live in the pool."""
     pg = cache.page_size
+    assert start_tok % pg == 0
     k_pool, v_pool = cache.k, cache.v
     ks_pool, vs_pool = cache.k_scales, cache.v_scales
-    n_full = -(-t_real // pg)
+    n_full = -(-(t_real - start_tok) // pg)
     for j in range(n_full):
-        chunk_k = jax.lax.dynamic_slice_in_dim(mini.k[:, 0], j * pg, pg, axis=2)
-        chunk_v = jax.lax.dynamic_slice_in_dim(mini.v[:, 0], j * pg, pg, axis=2)
+        off = start_tok + j * pg
+        chunk_k = jax.lax.dynamic_slice_in_dim(mini.k[:, 0], off, pg, axis=2)
+        chunk_v = jax.lax.dynamic_slice_in_dim(mini.v[:, 0], off, pg, axis=2)
         at = (0, 0, pages[j], 0, 0)
         if cache.quantized:
             kq, ks = _quant_rows(chunk_k)
@@ -123,12 +129,20 @@ class PagedBatchingEngine:
         seed: int = 0,
         horizon: int = 1,
         forward_fn=None,
+        enable_prefix_cache: bool = False,
     ):
         """forward_fn: family/TP injection point (≙ the dense engine's).
         Signature: (params, tokens [B,T], cache, start_pos, page_indices) ->
         (logits, cache); called with a dense mini-cache (page_indices=None)
         for prefill and with the PagedKVCache for decode. Defaults to the
-        Llama-family forward (covers llama / mistral / qwen2 / qwen3)."""
+        Llama-family forward (covers llama / mistral / qwen2 / qwen3).
+
+        enable_prefix_cache: automatic prefix caching (the vLLM feature the
+        reference inherits): full prompt pages are content-hashed; a new
+        request whose prompt shares a page-aligned prefix with a cached one
+        REUSES those pages — skipping both their KV memory and their prefill
+        compute (only the suffix runs). Cached pages are refcounted and
+        LRU-evicted when the free pool runs dry."""
         self.params = params
         self.cfg = cfg
         self._fwd = forward_fn or (
@@ -168,14 +182,47 @@ class PagedBatchingEngine:
         self._pos = np.zeros((batch_slots,), np.int32)
         self._live = np.zeros((batch_slots,), bool)
 
+        # prefix cache: chain-digest -> page id (OrderedDict = LRU order)
+        from collections import OrderedDict
+
+        self._prefix_cache: "OrderedDict[bytes, int] | None" = (
+            OrderedDict() if enable_prefix_cache else None
+        )
+        self._page_ref: Dict[int, int] = {}   # cached page -> active users
+        self._page_key: Dict[int, bytes] = {}
+        self._slot_cached: List[List[int]] = [[] for _ in range(batch_slots)]
+        self.prefix_cache_hits = 0  # pages reused (observability)
+
         self.horizon = max(1, int(horizon))
         self._decode_jit = jax.jit(self._decode_impl)
         self._horizon_jit = jax.jit(self._decode_horizon_impl, static_argnames=("steps",))
         self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("t_pad",))
+        self._load_prefix_jit = jax.jit(self._load_prefix_impl)
 
     # -- jitted kernels ------------------------------------------------------
-    def _prefill_impl(self, params, tokens, mini_cache, *, t_pad):
-        return self._fwd(params, tokens, mini_cache, 0)
+    def _prefill_impl(self, params, tokens, mini_cache, start_pos, *, t_pad):
+        return self._fwd(params, tokens, mini_cache, start_pos)
+
+    def _load_prefix_impl(self, mini, cache, pages):
+        """Gather cached prefix pages into the dense mini-cache rows
+        [0, n*pg) (dequantizing int8 pools on the fly)."""
+        n = pages.shape[0]
+        pg = cache.page_size
+        k = jnp.take(cache.k, pages, axis=2)  # [L, H, n, pg, hd]
+        v = jnp.take(cache.v, pages, axis=2)
+        if cache.quantized:
+            ks = jnp.take(cache.k_scales, pages, axis=2)
+            vs = jnp.take(cache.v_scales, pages, axis=2)
+            k = k.astype(jnp.float32) * (ks / 127.0)
+            v = v.astype(jnp.float32) * (vs / 127.0)
+        L, H = k.shape[0], k.shape[1]
+        hd = k.shape[-1]
+        k = k.reshape(L, H, n * pg, hd)[:, None].astype(mini.k.dtype)
+        v = v.reshape(L, H, n * pg, hd)[:, None].astype(mini.v.dtype)
+        return llama.KVCache(
+            k=jax.lax.dynamic_update_slice(mini.k, k, (0, 0, 0, 0, 0)),
+            v=jax.lax.dynamic_update_slice(mini.v, v, (0, 0, 0, 0, 0)),
+        )
 
     def _decode_impl(self, params, tokens, cache, lengths, page_tab, key):
         logits, cache = self._fwd(params, tokens[:, None], cache, lengths, page_tab)
@@ -224,33 +271,115 @@ class PagedBatchingEngine:
             -(-(len(req.prompt) + req.max_new_tokens) // self.pg), self.mp
         )
 
+    # -- prefix cache helpers -------------------------------------------------
+    def _prefix_keys(self, prompt: np.ndarray) -> list:
+        """Chain digests of the prompt's cacheable full pages. The page
+        holding the LAST prompt token is never cached/shared: decode writes
+        into it when the prompt isn't page-aligned, and even when it is, the
+        last token must re-run to produce logits."""
+        import hashlib
+
+        t, pg = len(prompt), self.pg
+        full = t // pg
+        if full * pg == t:
+            full -= 1
+        keys, h = [], b""
+        for j in range(max(full, 0)):
+            h = hashlib.sha1(h + prompt[j * pg : (j + 1) * pg].tobytes()).digest()
+            keys.append(h)
+        return keys
+
+    def _evictable(self) -> int:
+        if self._prefix_cache is None:
+            return 0
+        return sum(
+            1 for p in self._prefix_cache.values() if self._page_ref.get(p, 0) == 0
+        )
+
+    def _free_capacity(self) -> int:
+        return len(self.free_pages) + self._evictable()
+
+    def _evict_for(self, need: int) -> None:
+        """LRU-evict unreferenced cached pages until `need` pages are free."""
+        if self._prefix_cache is None:
+            return
+        for key in list(self._prefix_cache):
+            if len(self.free_pages) >= need:
+                break
+            page = self._prefix_cache[key]
+            if self._page_ref.get(page, 0) == 0:
+                del self._prefix_cache[key]
+                self._page_ref.pop(page, None)
+                self._page_key.pop(page, None)
+                self.free_pages.append(page)
+
     def _admit(self, slot: int, req: Request) -> None:
         need = self._pages_needed(req)
-        pages = [self.free_pages.popleft() for _ in range(need)]
+        t = len(req.prompt)
+
+        # longest cached page-aligned prefix (contiguous leading hits only)
+        shared: List[int] = []
+        keys: list = []
+        if self._prefix_cache is not None:
+            keys = self._prefix_keys(req.prompt)
+            for j, key in enumerate(keys):
+                page = self._prefix_cache.get(key)
+                if page is None:
+                    break
+                shared.append(page)
+                self._prefix_cache.move_to_end(key)  # LRU touch
+        n_shared = len(shared)
+        self.prefix_cache_hits += n_shared
+
+        self._evict_for(need - n_shared)
+        pages_new = [self.free_pages.popleft() for _ in range(need - n_shared)]
+        pages = shared + pages_new
+        for p in shared:
+            self._page_ref[p] = self._page_ref.get(p, 0) + 1
         self.slot_pages[slot] = pages
+        self._slot_cached[slot] = list(shared)
         self._page_tab[slot, :] = pages[0] if pages else 0
         self._page_tab[slot, : len(pages)] = pages
 
-        t = len(req.prompt)
-        t_pad = next_power_of_2(max(t, 2))
+        s0 = n_shared * self.pg  # first token that must actually run
+        t_suf = t - s0
+        t_pad = next_power_of_2(max(t_suf, 2))
         # prefill must fit the allocated pages exactly: pad to page multiple
-        t_cache = -(-t_pad // self.pg) * self.pg
-        prompt = np.zeros((1, t_pad), np.int32)
-        prompt[0, :t] = req.prompt
+        t_cache = s0 + -(-t_pad // self.pg) * self.pg
+        suffix = np.zeros((1, t_pad), np.int32)
+        suffix[0, :t_suf] = req.prompt[s0:]
         mini = llama.init_cache(self.cfg, 1, t_cache, self._mini_dtype)
-        logits, mini = self._prefill_jit(self.params, jnp.asarray(prompt), mini,
-                                         t_pad=t_pad)
-        self.cache = splice_prefill_into_pages(self.cache, mini, pages, t)
+        if n_shared:
+            mini = self._load_prefix_jit(
+                mini, self.cache, jnp.asarray(shared, jnp.int32)
+            )
+        logits, mini = self._prefill_jit(
+            self.params, jnp.asarray(suffix), mini, jnp.asarray(s0, jnp.int32),
+            t_pad=t_pad,
+        )
+        self.cache = splice_prefill_into_pages(
+            self.cache, mini, pages_new, t, start_tok=s0
+        )
+
+        # register this prompt's own full pages for future reuse
+        if self._prefix_cache is not None:
+            for j in range(n_shared, len(keys)):
+                key, page = keys[j], pages[j]
+                if key not in self._prefix_cache:
+                    self._prefix_cache[key] = page
+                    self._page_key[page] = key
+                    self._page_ref[page] = self._page_ref.get(page, 0) + 1
+                    self._slot_cached[slot].append(page)
 
         self._key, sub = jax.random.split(self._key)
         first = sample_token(
-            logits[:, t - 1], sub, self.do_sample, self.top_k, self.temperature,
+            logits[:, t_suf - 1], sub, self.do_sample, self.top_k, self.temperature,
             self.top_p,
         )
         from ..utils.profiling import log_event
 
         log_event("request_admitted", uid=req.uid, slot=slot, prompt_len=t,
-                  pages=len(pages))
+                  pages=len(pages), prefix_pages_reused=n_shared)
         req.slot = slot
         req.output = [int(first[0])]
         self.active[slot] = req
@@ -260,9 +389,16 @@ class PagedBatchingEngine:
         self._maybe_finish(slot)
 
     def _release(self, slot: int) -> None:
+        cached = set(self._slot_cached[slot])
         for p in self.slot_pages[slot]:
-            self.free_pages.append(p)
+            if p in cached:
+                # stays resident (reusable prefix); evicted only when the
+                # free pool runs dry and its refcount is zero
+                self._page_ref[p] = max(self._page_ref.get(p, 1) - 1, 0)
+            else:
+                self.free_pages.append(p)
         self.slot_pages[slot] = []
+        self._slot_cached[slot] = []
         self._page_tab[slot, :] = 0
         self._pos[slot] = 0
         self._tokens[slot] = 0
@@ -315,7 +451,7 @@ class PagedBatchingEngine:
         for slot in range(self.s):
             if self._live[slot] or not self.queue:
                 continue
-            free = len(self.free_pages)
+            free = self._free_capacity()
             pick = None
             for idx, req in enumerate(self.queue):
                 if self._pages_needed(req) <= free:

@@ -1,0 +1,97 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Automatic prefix caching in the paged engine (vLLM's flagship serving
+feature, which the reference inherits): shared page-aligned prompt prefixes
+reuse pooled KV pages — skipping their prefill compute and memory — with
+refcounting and LRU eviction."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hqq_tpu.models import llama
+from hqq_tpu.serving.paged import PagedBatchingEngine
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    return cfg, params
+
+
+def _engine(params, cfg, **kw):
+    base = dict(batch_slots=1, num_pages=32, page_size=4, max_pages_per_seq=8,
+                cache_dtype=jnp.float32)
+    base.update(kw)
+    return PagedBatchingEngine(params, cfg, **base)
+
+
+def test_prefix_reuse_matches_uncached(model):
+    """Second request with a shared 2-page prefix: pages reused, outputs
+    token-for-token identical to the cache-disabled engine."""
+    cfg, params = model
+    prefix = [3, 17, 29, 5, 11, 2, 7, 23]  # 2 full pages (pg=4)
+    p1 = prefix + [9, 13]
+    p2 = prefix + [21, 1, 6]
+
+    ref_eng = _engine(params, cfg)
+    u1 = ref_eng.add_request(p1, max_new_tokens=5)
+    u2 = ref_eng.add_request(p2, max_new_tokens=5)
+    ref = ref_eng.run()
+
+    eng = _engine(params, cfg, enable_prefix_cache=True)
+    v1 = eng.add_request(p1, max_new_tokens=5)
+    v2 = eng.add_request(p2, max_new_tokens=5)
+    got = eng.run()
+
+    assert got[v1] == ref[u1]
+    assert got[v2] == ref[u2]
+    assert eng.prefix_cache_hits == 2  # p2 reused p1's two prefix pages
+
+
+def test_page_aligned_prompt_never_shares_last_page(model):
+    """A fully page-aligned prompt keeps its last page private (decode writes
+    there; the last token must re-run for logits)."""
+    cfg, params = model
+    prompt = [3, 17, 29, 5, 11, 2, 7, 23]  # exactly 2 pages
+    eng = _engine(params, cfg, enable_prefix_cache=True)
+    a = eng.add_request(prompt, max_new_tokens=3)
+    eng.run()
+    b = eng.add_request(prompt, max_new_tokens=3)
+    outs = eng.run()
+    # only page 0 of the prompt is shareable
+    assert eng.prefix_cache_hits == 1
+    assert outs[b] == eng.finished[a].output
+
+
+def test_cached_pages_survive_release_and_evict_under_pressure(model):
+    cfg, params = model
+    prompt = [1, 2, 3, 4, 5, 6, 7, 8, 9]  # 2 cacheable pages
+    eng = _engine(params, cfg, num_pages=9, enable_prefix_cache=True)
+    free0 = len(eng.free_pages)  # 8 usable
+    a = eng.add_request(prompt, max_new_tokens=3)
+    eng.run()
+    # cached pages stay resident after release
+    assert len(eng.free_pages) < free0
+    assert eng._evictable() == 2
+    # a large unrelated request forces eviction of the unreferenced pages
+    big = eng.add_request([42] * 9, max_new_tokens=20)  # needs 8 pages
+    eng.run()
+    assert len(eng.finished[big].output) > 0
+
+
+def test_prefix_cache_with_quantized_pages(model):
+    """int8 KV pools gather+dequantize cached pages into the prefill cache."""
+    cfg, params = model
+    prefix = [3, 17, 29, 5, 11, 2, 7, 23]
+    eng = _engine(params, cfg, enable_prefix_cache=True, quantize_kv=True)
+    a = eng.add_request(prefix + [9], max_new_tokens=3)
+    b = eng.add_request(prefix + [4], max_new_tokens=3)
+    outs = eng.run()
+    assert eng.prefix_cache_hits == 2
+    ref_eng = _engine(params, cfg, quantize_kv=True)
+    ra = ref_eng.add_request(prefix + [9], max_new_tokens=3)
+    rb = ref_eng.add_request(prefix + [4], max_new_tokens=3)
+    refs = ref_eng.run()
+    assert outs[a] == refs[ra] and outs[b] == refs[rb]
