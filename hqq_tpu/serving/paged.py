@@ -130,6 +130,7 @@ class PagedBatchingEngine:
         horizon: int = 1,
         forward_fn=None,
         enable_prefix_cache: bool = False,
+        prefill_chunk: "int | None" = None,
     ):
         """forward_fn: family/TP injection point (≙ the dense engine's).
         Signature: (params, tokens [B,T], cache, start_pos, page_indices) ->
@@ -142,7 +143,13 @@ class PagedBatchingEngine:
         request whose prompt shares a page-aligned prefix with a cached one
         REUSES those pages — skipping both their KV memory and their prefill
         compute (only the suffix runs). Cached pages are refcounted and
-        LRU-evicted when the free pool runs dry."""
+        LRU-evicted when the free pool runs dry.
+
+        prefill_chunk: CHUNKED PREFILL (vLLM-style): long prompts prefill in
+        chunks of this many tokens, one chunk per `step()`, interleaved with
+        decode of the active slots — a long prompt no longer stalls every
+        running request for its whole prefill. Powers of two keep the
+        compile-cache bucket count at one."""
         self.params = params
         self.cfg = cfg
         self._fwd = forward_fn or (
@@ -192,6 +199,10 @@ class PagedBatchingEngine:
         self._page_key: Dict[int, bytes] = {}
         self._slot_cached: List[List[int]] = [[] for _ in range(batch_slots)]
         self.prefix_cache_hits = 0  # pages reused (observability)
+
+        self.prefill_chunk = prefill_chunk
+        # slots mid-chunked-prefill: slot -> state dict (occupied, not live)
+        self._prefilling: Dict[int, dict] = {}
 
         self.horizon = max(1, int(horizon))
         self._decode_jit = jax.jit(self._decode_impl)
@@ -343,25 +354,45 @@ class PagedBatchingEngine:
 
         s0 = n_shared * self.pg  # first token that must actually run
         t_suf = t - s0
-        t_pad = next_power_of_2(max(t_suf, 2))
+        t_pad_total = next_power_of_2(max(t_suf, 2))
         # prefill must fit the allocated pages exactly: pad to page multiple
-        t_cache = s0 + -(-t_pad // self.pg) * self.pg
-        suffix = np.zeros((1, t_pad), np.int32)
-        suffix[0, :t_suf] = req.prompt[s0:]
+        t_cache = s0 + -(-t_pad_total // self.pg) * self.pg
         mini = llama.init_cache(self.cfg, 1, t_cache, self._mini_dtype)
         if n_shared:
             mini = self._load_prefix_jit(
                 mini, self.cache, jnp.asarray(shared, jnp.int32)
             )
+
+        if self.prefill_chunk is not None and t_suf > self.prefill_chunk:
+            # chunked prefill: one chunk per step(), interleaved with decode.
+            # The block table stays zeroed (scratch page) until activation so
+            # other slots' masked dead writes can't touch these pages.
+            self._prefilling[slot] = dict(
+                req=req, mini=mini, t=t, s0=s0, done=s0,
+                pages=pages, pages_new=pages_new, keys=keys, n_shared=n_shared,
+            )
+            self._page_tab[slot, :] = 0
+            self._advance_prefill(slot)  # first chunk now
+            return
+
+        suffix = np.zeros((1, t_pad_total), np.int32)
+        suffix[0, :t_suf] = req.prompt[s0:]
         logits, mini = self._prefill_jit(
             self.params, jnp.asarray(suffix), mini, jnp.asarray(s0, jnp.int32),
-            t_pad=t_pad,
+            t_pad=t_pad_total,
         )
+        self._finish_prefill(slot, req, mini, logits, t_suf - 1, t, s0,
+                             pages, pages_new, keys, n_shared)
+
+    def _finish_prefill(self, slot, req, mini, logits, first_idx, t, s0,
+                        pages, pages_new, keys, n_shared):
+        """Splice the completed prefill into pages, register cacheable
+        prompt pages, sample the first token, activate the slot."""
         self.cache = splice_prefill_into_pages(
             self.cache, mini, pages_new, t, start_tok=s0
         )
-
-        # register this prompt's own full pages for future reuse
+        # register this prompt's own full pages for future reuse (only AFTER
+        # their KV is actually in the pool)
         if self._prefix_cache is not None:
             for j in range(n_shared, len(keys)):
                 key, page = keys[j], pages[j]
@@ -371,9 +402,12 @@ class PagedBatchingEngine:
                     self._page_ref[page] = self._page_ref.get(page, 0) + 1
                     self._slot_cached[slot].append(page)
 
+        self._page_tab[slot, :] = pages[0] if pages else 0
+        self._page_tab[slot, : len(pages)] = pages
+
         self._key, sub = jax.random.split(self._key)
         first = sample_token(
-            logits[:, t_suf - 1], sub, self.do_sample, self.top_k, self.temperature,
+            logits[:, first_idx], sub, self.do_sample, self.top_k, self.temperature,
             self.top_p,
         )
         from ..utils.profiling import log_event
@@ -387,6 +421,27 @@ class PagedBatchingEngine:
         self._pos[slot] = t
         self._live[slot] = True
         self._maybe_finish(slot)
+
+    def _advance_prefill(self, slot: int) -> None:
+        """Run ONE prefill chunk for a pending slot; activate when done."""
+        st = self._prefilling[slot]
+        req, t = st["req"], st["t"]
+        start = st["done"]
+        n = min(self.prefill_chunk, t - start)
+        t_pad = next_power_of_2(max(n, 2))
+        buf = np.zeros((1, t_pad), np.int32)
+        buf[0, :n] = req.prompt[start : start + n]
+        logits, st["mini"] = self._prefill_jit(
+            self.params, jnp.asarray(buf), st["mini"],
+            jnp.asarray(start, jnp.int32), t_pad=t_pad,
+        )
+        st["done"] = start + n
+        if st["done"] >= t:
+            del self._prefilling[slot]
+            self._finish_prefill(
+                slot, req, st["mini"], logits, n - 1, t, st["s0"],
+                st["pages"], st["pages_new"], st["keys"], st["n_shared"],
+            )
 
     def _release(self, slot: int) -> None:
         cached = set(self._slot_cached[slot])
@@ -441,6 +496,13 @@ class PagedBatchingEngine:
                 self._live[slot] = False
                 self._release(slot)
                 return True
+        for slot, st in list(self._prefilling.items()):
+            if st["req"].uid == uid:
+                st["req"].done = True
+                self.finished[uid] = st["req"]
+                del self._prefilling[slot]
+                self._release(slot)
+                return True
         return False
 
     def _schedule(self) -> None:
@@ -449,7 +511,7 @@ class PagedBatchingEngine:
         small request behind a large one is admitted first; FIFO order is
         preserved among requests of equal feasibility."""
         for slot in range(self.s):
-            if self._live[slot] or not self.queue:
+            if self._live[slot] or slot in self._prefilling or not self.queue:
                 continue
             free = self._free_capacity()
             pick = None
@@ -465,8 +527,10 @@ class PagedBatchingEngine:
 
     def step(self) -> int:
         self._schedule()
+        for slot in list(self._prefilling):
+            self._advance_prefill(slot)
         if not self.active:
-            return 0
+            return len(self._prefilling)
 
         # full horizon only if every live slot has page room (avoid a
         # per-h recompile zoo: h is either `horizon` or 1)
@@ -510,9 +574,9 @@ class PagedBatchingEngine:
                 self._tokens[slot] = int(toks[j, slot])
                 self._pos[slot] += 1
                 self._maybe_finish(slot)
-        return len(self.active)
+        return len(self.active) + len(self._prefilling)
 
     def run(self) -> Dict[int, List[int]]:
-        while self.queue or self.active:
+        while self.queue or self.active or self._prefilling:
             self.step()
         return {uid: r.output for uid, r in self.finished.items()}

@@ -95,3 +95,63 @@ def test_prefix_cache_with_quantized_pages(model):
     rb = ref_eng.add_request(prefix + [4], max_new_tokens=3)
     refs = ref_eng.run()
     assert outs[a] == refs[ra] and outs[b] == refs[rb]
+
+
+def test_chunked_prefill_matches_unchunked(model):
+    """prefill_chunk splits a long prompt across step()s; outputs must be
+    token-for-token identical, and decode of already-active slots proceeds
+    between chunks."""
+    cfg, params = model
+    long_prompt = list(np.random.default_rng(0).integers(0, 200, 24))
+    short_prompt = [5, 9, 2]
+
+    ref_eng = _engine(params, cfg, batch_slots=2, num_pages=64,
+                      max_pages_per_seq=12)
+    ra = ref_eng.add_request(short_prompt, max_new_tokens=8)
+    rb = ref_eng.add_request(long_prompt, max_new_tokens=6)
+    refs = ref_eng.run()
+
+    eng = _engine(params, cfg, batch_slots=2, num_pages=64,
+                  max_pages_per_seq=12, prefill_chunk=8)
+    a = eng.add_request(short_prompt, max_new_tokens=8)
+    b = eng.add_request(long_prompt, max_new_tokens=6)
+    # first step: short admits fully; long starts chunking
+    eng.step()
+    assert eng._prefilling  # long prompt mid-prefill
+    outs = eng.run()
+    assert outs[a] == refs[ra]
+    assert outs[b] == refs[rb]
+
+
+def test_chunked_prefill_with_prefix_cache(model):
+    """Chunked prefill composes with prefix caching: the shared prefix is
+    skipped, only the suffix chunks run."""
+    cfg, params = model
+    prefix = list(range(1, 17))  # 4 full pages
+    p1 = prefix + [21, 22]
+    p2 = prefix + [31, 32, 33]
+
+    ref_eng = _engine(params, cfg)
+    r1 = ref_eng.add_request(p1, max_new_tokens=4)
+    r2 = ref_eng.add_request(p2, max_new_tokens=4)
+    refs = ref_eng.run()
+
+    eng = _engine(params, cfg, enable_prefix_cache=True, prefill_chunk=8)
+    u1 = eng.add_request(p1, max_new_tokens=4)
+    u2 = eng.add_request(p2, max_new_tokens=4)
+    outs = eng.run()
+    assert outs[u1] == refs[r1]
+    assert outs[u2] == refs[r2]
+    assert eng.prefix_cache_hits >= 3  # p2 reused p1's cached prefix pages
+
+
+def test_cancel_mid_chunked_prefill(model):
+    cfg, params = model
+    eng = _engine(params, cfg, prefill_chunk=8)
+    free0 = len(eng.free_pages)
+    uid = eng.add_request(list(range(24)), max_new_tokens=4)
+    eng.step()
+    assert eng._prefilling
+    assert eng.cancel(uid)
+    assert not eng._prefilling
+    assert len(eng.free_pages) == free0  # pages released
