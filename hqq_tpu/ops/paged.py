@@ -182,7 +182,10 @@ def paged_attn(
     k_pages, v_pages = cache.k[layer_idx], cache.v[layer_idx]
     ks = None if cache.k_scales is None else cache.k_scales[layer_idx]
     vs = None if cache.v_scales is None else cache.v_scales[layer_idx]
-    if jax.default_backend() == "tpu" and window is None and softcap is None:
+    # the production kernel's block shapes need a lane-aligned head_dim;
+    # small/toy models fall back to the gather implementation
+    kernel_ok = k_pages.shape[-1] % 128 == 0
+    if jax.default_backend() == "tpu" and window is None and softcap is None and kernel_ok:
         from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
         from jax.experimental.pallas.ops.tpu.paged_attention.quantization_utils import (
             QuantizedTensor,
