@@ -203,3 +203,156 @@ class SpeculativeGenerator:
         if self.do_sample:
             return int(jax.random.categorical(key, logits.astype(jnp.float32) / self.temperature))
         return int(jnp.argmax(logits))
+
+
+class SpeculativeBatchingEngine:
+    """Continuous batching WITH batched speculative decoding (greedy-exact).
+
+    Same public API as `ContinuousBatchingEngine` (add_request / step / run /
+    cancel); each step drafts `k_draft` tokens per slot with the cheap draft
+    model, verifies the whole window in ONE target forward of width k_draft,
+    and commits the longest matching prefix plus the target's correction —
+    1..k_draft tokens per slot per step, token-for-token identical to plain
+    greedy decoding of the target (the draft only changes wall-clock).
+
+    ≙ what vLLM's speculative decoding gives the reference's users, built on
+    the same position-masked static KV trick as `SpeculativeGenerator`
+    (rejected speculative KV needs no rollback — stale rows past each slot's
+    position are never attended and get overwritten).
+    """
+
+    def __init__(
+        self,
+        params: Any,
+        draft_params: Any,
+        cfg: Any,
+        draft_cfg: Optional[Any] = None,
+        k_draft: int = 4,
+        batch_slots: int = 8,
+        max_len: int = 1024,
+        eos_token_id: Optional[int] = None,
+        cache_dtype=jnp.bfloat16,
+        forward_fn: Optional[Callable] = None,
+        draft_forward_fn: Optional[Callable] = None,
+    ):
+        from .batching import ContinuousBatchingEngine
+
+        # reuse the dense engine for state + prefill/scheduling machinery
+        self._eng = ContinuousBatchingEngine(
+            params, cfg, batch_slots=batch_slots, max_len=max_len,
+            eos_token_id=eos_token_id, do_sample=False,
+            cache_dtype=cache_dtype, forward_fn=forward_fn,
+        )
+        self.dcfg = draft_cfg or cfg
+        self.draft_params = draft_params
+        self._dfwd = draft_forward_fn or (
+            lambda p, toks, cache, pos: llama.forward(p, self.dcfg, toks, cache, pos)
+        )
+        self.dcache = llama.init_cache(self.dcfg, batch_slots, max_len, cache_dtype)
+        self.k = int(k_draft)
+        assert self.k >= 2
+        self._spec_jit = jax.jit(self._spec_step_impl)
+        self._dprefill_jit = jax.jit(
+            lambda p, tk, c: self._dfwd(p, tk, c, 0)
+        )
+
+    # passthroughs ---------------------------------------------------------
+    def add_request(self, prompt_ids, max_new_tokens: int = 128) -> int:
+        return self._eng.add_request(prompt_ids, max_new_tokens)
+
+    def cancel(self, uid: int) -> bool:
+        return self._eng.cancel(uid)
+
+    @property
+    def finished(self):
+        return self._eng.finished
+
+    # ---------------------------------------------------------------------
+    def _spec_step_impl(self, params, dparams, tokens, cache, dcache, pos):
+        """One speculative step for all slots. Returns (committed [B, k],
+        n_commit [B], caches)."""
+        k = self.k
+
+        def draft_body(carry, _):
+            tok, dcache, p = carry
+            dlogits, dcache = self._dfwd(dparams, tok[:, None], dcache, p)
+            nxt = jnp.argmax(dlogits[:, -1], axis=-1).astype(jnp.int32)
+            return (nxt, dcache, p + 1), nxt
+
+        (_, dcache, _), drafts = jax.lax.scan(
+            draft_body, (tokens, dcache, pos), None, length=k - 1
+        )
+        drafts = drafts.T  # [B, k-1]
+
+        # target verifies the whole window in one forward of width k
+        cand = jnp.concatenate([tokens[:, None], drafts], axis=1)  # [B, k]
+        tlogits, cache = self._eng._fwd(params, cand, cache, pos)
+        preds = jnp.argmax(tlogits, axis=-1).astype(jnp.int32)  # [B, k]
+
+        # longest matching prefix: accept drafts[i] while preds[i]==drafts[i]
+        match = preds[:, : k - 1] == drafts  # [B, k-1]
+        n_acc = jnp.argmin(
+            jnp.concatenate([match, jnp.zeros((match.shape[0], 1), bool)], axis=1),
+            axis=1,
+        )  # first mismatch index == number of accepted drafts
+        # committed tokens: drafts[:n_acc] then the target's own pick
+        idx = jnp.arange(k - 1)[None, :]
+        committed = jnp.where(idx < n_acc[:, None], drafts, 0)
+        correction = jnp.take_along_axis(preds, n_acc[:, None], axis=1)[:, 0]
+        committed = jnp.concatenate([committed, jnp.zeros_like(correction)[:, None]], axis=1)
+        committed = committed.at[jnp.arange(committed.shape[0]), n_acc].set(correction)
+        return committed, n_acc + 1, cache, dcache
+
+    def step(self) -> int:
+        eng = self._eng
+        eng._schedule()
+        if not eng.active:
+            return 0
+        # prefill freshly admitted prompts (+ the first sampled token's
+        # prefix) into the DRAFT cache — the target prefill happened in
+        # the inner engine's _admit
+        for slot, req in eng.active.items():
+            if getattr(req, "_draft_done", False):
+                continue
+            ctx = np.concatenate([req.prompt, np.asarray(req.output[:-1], np.int32)])
+            t = len(ctx)
+            t_pad = next_power_of_2(max(t, 2))
+            buf = np.zeros((1, t_pad), np.int32)
+            buf[0, :t] = ctx
+            mini = llama.init_cache(self.dcfg, 1, eng.max_len, self.dcache.k.dtype)
+            _, mini = self._dprefill_jit(self.draft_params, jnp.asarray(buf), mini)
+            self.dcache = llama.KVCache(
+                k=jax.lax.dynamic_update_slice(self.dcache.k, mini.k, (0, slot, 0, 0, 0)),
+                v=jax.lax.dynamic_update_slice(self.dcache.v, mini.v, (0, slot, 0, 0, 0)),
+            )
+            req._draft_done = True
+
+        committed, n_commit, eng.cache, self.dcache = self._spec_jit(
+            eng.params, self.draft_params,
+            jnp.asarray(eng._tokens), eng.cache, self.dcache,
+            jnp.asarray(eng._pos),
+        )
+        committed = np.asarray(committed)
+        n_commit = np.asarray(n_commit)
+        for slot in list(eng.active):
+            req = eng.active.get(slot)
+            if req is None:
+                continue
+            n = int(n_commit[slot])
+            # never run past max_len
+            n = min(n, eng.max_len - 1 - int(eng._pos[slot]))
+            for j in range(n):
+                req = eng.active.get(slot)
+                if req is None:
+                    break
+                tok = int(committed[slot, j])
+                req.output.append(tok)
+                eng._tokens[slot] = tok
+                eng._pos[slot] += 1
+                eng._maybe_finish(slot)
+        return len(eng.active)
+
+    def run(self):
+        while self._eng.queue or self._eng.active:
+            self.step()
+        return {uid: r.output for uid, r in self._eng.finished.items()}

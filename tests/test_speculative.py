@@ -60,3 +60,60 @@ def test_spec_decode_eos_stops(setup):
     assert out[0][-1] == eos
     assert len(out[0]) <= 24
     np.testing.assert_array_equal(out[0], ref[0][: len(out[0])])
+
+
+def test_speculative_batching_engine_exact():
+    """Batched speculative decoding is bit-identical to plain greedy
+    continuous batching (the draft only changes wall-clock), across slots
+    with different prompts and lengths."""
+    import numpy as np
+
+    from hqq_tpu.serving.batching import ContinuousBatchingEngine
+    from hqq_tpu.serving.speculative import SpeculativeBatchingEngine
+
+    cfg = LlamaConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    # draft = SAME weights quantized harder (realistic cheap-draft setup)
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.models.base import quantize_model
+
+    draft = quantize_model(params, BaseQuantizeConfig(nbits=3, group_size=32),
+                           compute_dtype=jnp.float32)
+
+    prompts = [[3, 17, 29, 5], [11, 2], [7, 23, 23, 41, 9]]
+    ref_eng = ContinuousBatchingEngine(params, cfg, batch_slots=2, max_len=64,
+                                       cache_dtype=jnp.float32)
+    uids = [ref_eng.add_request(p, max_new_tokens=8) for p in prompts]
+    refs = ref_eng.run()
+
+    eng = SpeculativeBatchingEngine(
+        params, draft, cfg, k_draft=4, batch_slots=2, max_len=64,
+        cache_dtype=jnp.float32,
+    )
+    vids = [eng.add_request(p, max_new_tokens=8) for p in prompts]
+    outs = eng.run()
+    for u, v in zip(uids, vids):
+        assert outs[v] == refs[u], (outs[v], refs[u])
+
+
+def test_speculative_batching_engine_accepts_multiple():
+    """With the draft == target, drafts are mostly accepted: the run takes
+    strictly fewer steps than tokens (multi-token commits happen). Early
+    near-tie argmax flips between the t=1 draft forward and the t=k verify
+    forward can reject a few drafts on random weights, so the bound is
+    conservative rather than tokens/k."""
+    from hqq_tpu.serving.speculative import SpeculativeBatchingEngine
+
+    cfg = LlamaConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(1), jnp.float32)
+    eng = SpeculativeBatchingEngine(
+        params, params, cfg, k_draft=4, batch_slots=1, max_len=64,
+        cache_dtype=jnp.float32,
+    )
+    uid = eng.add_request([3, 17, 29], max_new_tokens=17)
+    n_steps = 0
+    while eng._eng.queue or eng._eng.active:
+        eng.step()
+        n_steps += 1
+    assert len(eng.finished[uid].output) == 17
+    assert n_steps < 16, n_steps  # 16 post-admit tokens in < 16 steps
