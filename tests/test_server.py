@@ -1,0 +1,77 @@
+# SPDX-License-Identifier: Apache-2.0
+"""HTTP inference server over the batching engines (localhost only)."""
+
+import http.client
+import json
+import threading
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hqq_tpu.models import llama
+from hqq_tpu.serving.batching import ContinuousBatchingEngine
+from hqq_tpu.serving.server import InferenceServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    eng = ContinuousBatchingEngine(params, cfg, batch_slots=2, max_len=64,
+                                   cache_dtype=jnp.float32)
+    srv = InferenceServer(eng, port=0).start()
+    yield srv, params, cfg
+    srv.stop()
+
+
+def _post(port, path, obj):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", path, json.dumps(obj),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    return resp.status, json.loads(resp.read())
+
+
+def test_generate_endpoint_matches_engine(server):
+    srv, params, cfg = server
+    prompt = [3, 17, 29, 5]
+    status, out = _post(srv.port, "/generate",
+                        {"prompt_ids": prompt, "max_new_tokens": 6})
+    assert status == 200 and len(out["tokens"]) == 6
+
+    ref_eng = ContinuousBatchingEngine(params, cfg, batch_slots=2, max_len=64,
+                                       cache_dtype=jnp.float32)
+    uid = ref_eng.add_request(prompt, max_new_tokens=6)
+    assert out["tokens"] == ref_eng.run()[uid]
+
+
+def test_concurrent_requests(server):
+    srv, params, cfg = server
+    results = {}
+
+    def call(name, prompt):
+        results[name] = _post(srv.port, "/generate",
+                              {"prompt_ids": prompt, "max_new_tokens": 5})
+
+    threads = [
+        threading.Thread(target=call, args=("a", [1, 2, 3])),
+        threading.Thread(target=call, args=("b", [9, 8, 7, 6])),
+        threading.Thread(target=call, args=("c", [4, 4])),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert all(r[0] == 200 and len(r[1]["tokens"]) == 5
+               for r in results.values()), results
+
+
+def test_healthz_and_bad_request(server):
+    srv, *_ = server
+    conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+    conn.request("GET", "/healthz")
+    resp = conn.getresponse()
+    assert resp.status == 200 and json.loads(resp.read())["ok"]
+    status, out = _post(srv.port, "/generate", {})
+    assert status == 400
