@@ -46,6 +46,26 @@ class LlamaConfig:
     mlp_bias: bool = False
     # Sliding-window attention (Mistral-style); None = full causal.
     sliding_window: Optional[int] = None
+    # RoPE scaling, stored as a hashable tuple of sorted (key, value) pairs
+    # (configs are frozen/hashable). Supported rope_type: "llama3"
+    # (Llama-3.1+ smooth frequency interpolation), "linear". None = no
+    # scaling. Use `rope_scaling_dict` to read it.
+    rope_scaling: Optional[tuple] = None
+
+    def __post_init__(self):
+        if isinstance(self.rope_scaling, dict):
+            object.__setattr__(
+                self, "rope_scaling", tuple(sorted(self.rope_scaling.items()))
+            )
+        elif isinstance(self.rope_scaling, list):
+            object.__setattr__(
+                self, "rope_scaling",
+                tuple((k, v) for k, v in self.rope_scaling),
+            )
+
+    @property
+    def rope_scaling_dict(self) -> Optional[dict]:
+        return None if self.rope_scaling is None else dict(self.rope_scaling)
 
     @property
     def head_dim_(self) -> int:
@@ -71,7 +91,25 @@ class LlamaConfig:
             attention_bias=hf.get("attention_bias", False),
             mlp_bias=hf.get("mlp_bias", False),
             sliding_window=hf.get("sliding_window"),
+            rope_scaling=cls._canon_rope_scaling(hf.get("rope_scaling")),
         )
+
+    @staticmethod
+    def _canon_rope_scaling(rs: Optional[dict]) -> Optional[tuple]:
+        if not rs:
+            return None
+        rt = rs.get("rope_type", rs.get("type", "default"))
+        if rt in ("default",):
+            return None
+        assert rt in ("llama3", "linear"), (
+            f"rope_type {rt!r} not implemented (supported: llama3, linear)"
+        )
+        keep = {k: v for k, v in rs.items()
+                if k in ("rope_type", "type", "factor", "low_freq_factor",
+                         "high_freq_factor", "original_max_position_embeddings")}
+        keep["rope_type"] = rt
+        keep.pop("type", None)
+        return tuple(sorted(keep.items()))
 
     @classmethod
     def llama2_7b(cls) -> "LlamaConfig":
@@ -190,11 +228,42 @@ def rms_norm(x: Array, w: Array, eps: float) -> Array:
     return (x * w.astype(jnp.float32)).astype(dt)
 
 
-def _rope_cos_sin(positions: Array, head_dim: int, theta: float) -> Tuple[Array, Array]:
-    """HF-convention rotary tables: [T, head_dim] with duplicated halves."""
+def _scaled_inv_freq(head_dim: int, theta: float, scaling: Optional[tuple]) -> Array:
+    """Inverse frequencies with optional RoPE scaling.
+
+    "llama3": the Llama-3.1 smooth interpolation (≙ HF
+    `_compute_llama3_parameters`): low-frequency components divide by
+    `factor`, high-frequency components pass through, the band between
+    interpolates smoothly. "linear": divide everything by `factor`."""
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
     )
+    if scaling is None:
+        return inv_freq
+    rs = dict(scaling)
+    factor = float(rs.get("factor", 1.0))
+    if rs.get("rope_type") == "linear":
+        return inv_freq / factor
+    # llama3
+    low = float(rs.get("low_freq_factor", 1.0))
+    high = float(rs.get("high_freq_factor", 4.0))
+    old_ctx = float(rs.get("original_max_position_embeddings", 8192))
+    wavelen = 2.0 * jnp.pi / inv_freq
+    low_wl = old_ctx / low
+    high_wl = old_ctx / high
+    scaled = jnp.where(wavelen > low_wl, inv_freq / factor, inv_freq)
+    smooth = (old_ctx / wavelen - low) / (high - low)
+    smoothed = (1.0 - smooth) * scaled / factor + smooth * scaled
+    is_medium = (wavelen >= high_wl) & (wavelen <= low_wl)
+    return jnp.where(is_medium, smoothed, scaled)
+
+
+def _rope_cos_sin(
+    positions: Array, head_dim: int, theta: float,
+    scaling: Optional[tuple] = None,
+) -> Tuple[Array, Array]:
+    """HF-convention rotary tables: [T, head_dim] with duplicated halves."""
+    inv_freq = _scaled_inv_freq(head_dim, theta, scaling)
     freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, hd/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
@@ -230,7 +299,10 @@ def positions_and_masks(
     else:
         positions = pos_arr[:, None] + jnp.arange(t)[None, :]  # [B, T]
         pos_bt = positions
-    cos, sin = _rope_cos_sin(pos_bt.reshape(-1), cfg.head_dim_, cfg.rope_theta)
+    cos, sin = _rope_cos_sin(
+        pos_bt.reshape(-1), cfg.head_dim_, cfg.rope_theta,
+        getattr(cfg, "rope_scaling", None),
+    )
     cos = cos.reshape(*pos_bt.shape, cfg.head_dim_)[:, None]  # [B|1, 1, T, hd]
     sin = sin.reshape(*pos_bt.shape, cfg.head_dim_)[:, None]
 

@@ -49,7 +49,8 @@ def _local_attention_ring(layer, cfg, x, axis_name, t_loc):
     # global positions of this shard's tokens
     idx = jax.lax.axis_index(axis_name)
     pos = idx * t_loc + jnp.arange(t_loc)
-    cos, sin = llama._rope_cos_sin(pos, hd, cfg.rope_theta)
+    cos, sin = llama._rope_cos_sin(pos, hd, cfg.rope_theta,
+                                   getattr(cfg, 'rope_scaling', None))
     cos = cos[None, None]  # [1, 1, T_loc, hd]
     sin = sin[None, None]
     q = llama._apply_rope(q, cos, sin)

@@ -1,0 +1,124 @@
+# SPDX-License-Identifier: Apache-2.0
+"""CLI inference server: the one-command deployment path.
+
+    python -m hqq_tpu.serve --model /path/to/checkpoint --port 8000 \\
+        --backend w4a8 --engine paged --slots 8
+
+`--model` accepts (auto-detected): an hqq_tpu quantized checkpoint
+(`from_quantized`), a GPTQ checkpoint (`load_gptq`), or a plain HF fp
+checkpoint — quantized on the fly (`--nbits/--group-size`), ≙ the
+reference's vLLM on-the-fly mode (`/root/reference/hqq/utils/vllm.py:578+`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_engine(args):
+    import jax.numpy as jnp
+
+    from .engine.hf import HQQModelForCausalLM
+    from .core.quantize import BaseQuantizeConfig
+    from .utils.patching import fuse_for_decode, prepare_for_inference
+
+    model_dir = args.model
+    if os.path.exists(os.path.join(model_dir, "hqq_config.json")):
+        # native hqq_tpu quantized checkpoint
+        model = HQQModelForCausalLM.from_quantized(model_dir)
+        params, cfg = model.params, model.cfg
+        params = prepare_for_inference(params, args.backend)
+        if args.fuse:
+            params = fuse_for_decode(params)
+        return _engine_for(args, params, cfg)
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        conf = json.load(f)
+    if conf.get("quantization_config", {}).get("quant_method") == "gptq":
+        from .models.interop import load_gptq
+
+        params, cfg = load_gptq(model_dir, compute_dtype=jnp.bfloat16)
+    else:
+        model = HQQModelForCausalLM.from_pretrained(model_dir)
+        model.quantize_model(
+            BaseQuantizeConfig(nbits=args.nbits, group_size=args.group_size)
+        )
+        params, cfg = model.params, model.cfg
+
+    params = prepare_for_inference(params, args.backend)
+    if args.fuse:
+        params = fuse_for_decode(params)
+    return _engine_for(args, params, cfg)
+
+
+def _engine_for(args, params, cfg):
+    if args.engine == "paged":
+        from .serving.paged import PagedBatchingEngine
+
+        return PagedBatchingEngine(
+            params, cfg, batch_slots=args.slots, num_pages=args.num_pages,
+            page_size=args.page_size, max_pages_per_seq=args.max_pages_per_seq,
+            eos_token_id=args.eos, do_sample=args.sample, horizon=args.horizon,
+            quantize_kv=args.int8_kv, enable_prefix_cache=args.prefix_cache,
+            prefill_chunk=args.prefill_chunk,
+        )
+    from .serving.batching import ContinuousBatchingEngine
+
+    return ContinuousBatchingEngine(
+        params, cfg, batch_slots=args.slots, max_len=args.max_len,
+        eos_token_id=args.eos, do_sample=args.sample, horizon=args.horizon,
+    )
+
+
+def make_parser():
+    p = argparse.ArgumentParser("hqq_tpu.serve")
+    p.add_argument("--model", required=True, help="checkpoint directory")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--backend", default="w4a8",
+                   choices=("w4a8", "int8", "pallas", "xla"))
+    p.add_argument("--engine", default="paged", choices=("paged", "dense"))
+    p.add_argument("--fuse", action="store_true", default=True)
+    p.add_argument("--no-fuse", dest="fuse", action="store_false")
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--max-len", type=int, default=1024)
+    p.add_argument("--num-pages", type=int, default=512)
+    p.add_argument("--page-size", type=int, default=16)
+    p.add_argument("--max-pages-per-seq", type=int, default=64)
+    p.add_argument("--horizon", type=int, default=8)
+    p.add_argument("--int8-kv", action="store_true")
+    p.add_argument("--prefix-cache", action="store_true")
+    p.add_argument("--prefill-chunk", type=int, default=None)
+    p.add_argument("--eos", type=int, default=None)
+    p.add_argument("--sample", action="store_true")
+    p.add_argument("--nbits", type=int, default=4, help="on-the-fly quant bits")
+    p.add_argument("--group-size", type=int, default=64)
+    p.add_argument("--tokenizer", action="store_true",
+                   help="load an HF tokenizer from --model for text I/O")
+    return p
+
+
+def main(argv=None, serve: bool = True):
+    args = make_parser().parse_args(argv)
+    engine = build_engine(args)
+    tokenizer = None
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.model)
+
+    from .serving.server import InferenceServer
+
+    srv = InferenceServer(engine, host=args.host, port=args.port,
+                          tokenizer=tokenizer)
+    print(f"serving {args.model} [{args.backend}/{args.engine}] "
+          f"on {args.host}:{srv.port}")
+    if serve:  # pragma: no cover — interactive entry
+        srv.serve_forever()
+    return srv
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -200,3 +200,49 @@ def test_quantize_model_axis0(tiny):
     tokens = jnp.arange(6, dtype=jnp.int32).reshape(1, 6)
     logits, _ = forward(q, cfg, tokens)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_llama31_rope_scaling_hf_parity():
+    """Llama-3.1-style rope_scaling ("llama3" smooth frequency interpolation)
+    matches HF bit-for-bit at positions past the scaling knee."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import numpy as np
+
+    from hqq_tpu.models import hf as hf_loader
+    from hqq_tpu.models import llama
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        rope_theta=10000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64},
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(hf_cfg).eval().float()
+
+    cfg = llama.LlamaConfig.from_hf(hf_cfg.to_dict())
+    assert cfg.rope_scaling_dict["rope_type"] == "llama3"
+    params = hf_loader.params_from_hf_state_dict(
+        dict(model.state_dict()), cfg, jnp.float32
+    )
+    toks = np.array([np.arange(96) % 120], np.int64)  # past the 64-token knee
+    with torch.no_grad():
+        ref = model(torch.from_numpy(toks)).logits.numpy()
+    ours, _ = llama.forward(params, cfg, jnp.asarray(toks, jnp.int32))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_unsupported_rope_scaling_rejected():
+    from hqq_tpu.models import llama
+
+    with pytest.raises(AssertionError):
+        llama.LlamaConfig.from_hf({
+            "vocab_size": 128, "hidden_size": 64, "intermediate_size": 128,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "rope_scaling": {"rope_type": "yarn", "factor": 4.0},
+        })

@@ -75,3 +75,31 @@ def test_healthz_and_bad_request(server):
     assert resp.status == 200 and json.loads(resp.read())["ok"]
     status, out = _post(srv.port, "/generate", {})
     assert status == 400
+
+
+def test_serve_cli_with_quantized_checkpoint(tmp_path):
+    """`python -m hqq_tpu.serve` end-to-end: save a quantized checkpoint,
+    boot the CLI (serve=False returns the started server), hit /generate."""
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.engine.hf import HQQModel
+    from hqq_tpu.serve import main as serve_main
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    model = HQQModel(params=params, cfg=cfg, model_type="llama")
+    model.quantize_model(BaseQuantizeConfig(nbits=4, group_size=32))
+    ckpt = str(tmp_path / "m")
+    model.save_quantized(ckpt)
+
+    srv = serve_main([
+        "--model", ckpt, "--port", "0", "--engine", "paged",
+        "--backend", "w4a8", "--slots", "2", "--num-pages", "32",
+        "--page-size", "4", "--max-pages-per-seq", "8", "--prefix-cache",
+    ], serve=False)
+    srv.start()
+    try:
+        status, out = _post(srv.port, "/generate",
+                            {"prompt_ids": [3, 17, 29], "max_new_tokens": 4})
+        assert status == 200 and len(out["tokens"]) == 4, out
+    finally:
+        srv.stop()
