@@ -183,6 +183,13 @@ def _register_mixtral():
         "forward": cohere_mod.forward,
         "loader": cohere_mod.params_from_hf_state_dict,
     }
+    from ..models import gpt_oss as gptoss_mod
+
+    _HQQ_REGISTRY["gpt_oss"] = {
+        "config": gptoss_mod.GptOssConfig.from_hf,
+        "forward": gptoss_mod.forward,
+        "loader": gptoss_mod.params_from_hf_state_dict,
+    }
 
 
 _register_mixtral()

@@ -101,12 +101,14 @@ class LlamaConfig:
         rt = rs.get("rope_type", rs.get("type", "default"))
         if rt in ("default",):
             return None
-        assert rt in ("llama3", "linear"), (
-            f"rope_type {rt!r} not implemented (supported: llama3, linear)"
+        assert rt in ("llama3", "linear", "yarn"), (
+            f"rope_type {rt!r} not implemented (supported: llama3, linear, yarn)"
         )
         keep = {k: v for k, v in rs.items()
                 if k in ("rope_type", "type", "factor", "low_freq_factor",
-                         "high_freq_factor", "original_max_position_embeddings")}
+                         "high_freq_factor", "original_max_position_embeddings",
+                         "beta_fast", "beta_slow", "truncate",
+                         "attention_factor", "mscale", "mscale_all_dim")}
         keep["rope_type"] = rt
         keep.pop("type", None)
         return tuple(sorted(keep.items()))
@@ -228,34 +230,75 @@ def rms_norm(x: Array, w: Array, eps: float) -> Array:
     return (x * w.astype(jnp.float32)).astype(dt)
 
 
-def _scaled_inv_freq(head_dim: int, theta: float, scaling: Optional[tuple]) -> Array:
-    """Inverse frequencies with optional RoPE scaling.
+def _rope_params(head_dim: int, theta: float, scaling: Optional[tuple]):
+    """(inverse frequencies [hd/2], attention factor) with optional scaling.
 
-    "llama3": the Llama-3.1 smooth interpolation (≙ HF
+    "llama3": Llama-3.1 smooth interpolation (≙ HF
     `_compute_llama3_parameters`): low-frequency components divide by
     `factor`, high-frequency components pass through, the band between
-    interpolates smoothly. "linear": divide everything by `factor`."""
+    interpolates smoothly. "linear": divide everything by `factor`.
+    "yarn": NTK-by-parts interpolation with a linear ramp between the
+    beta_fast/beta_slow correction dims plus the paper's attention scaling
+    of cos/sin (≙ HF `_compute_yarn_parameters`; gpt-oss ships this)."""
+    import math
+
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
     )
     if scaling is None:
-        return inv_freq
+        return inv_freq, 1.0
     rs = dict(scaling)
     factor = float(rs.get("factor", 1.0))
-    if rs.get("rope_type") == "linear":
-        return inv_freq / factor
-    # llama3
-    low = float(rs.get("low_freq_factor", 1.0))
-    high = float(rs.get("high_freq_factor", 4.0))
-    old_ctx = float(rs.get("original_max_position_embeddings", 8192))
-    wavelen = 2.0 * jnp.pi / inv_freq
-    low_wl = old_ctx / low
-    high_wl = old_ctx / high
-    scaled = jnp.where(wavelen > low_wl, inv_freq / factor, inv_freq)
-    smooth = (old_ctx / wavelen - low) / (high - low)
-    smoothed = (1.0 - smooth) * scaled / factor + smooth * scaled
-    is_medium = (wavelen >= high_wl) & (wavelen <= low_wl)
-    return jnp.where(is_medium, smoothed, scaled)
+    rt = rs.get("rope_type")
+    if rt == "linear":
+        return inv_freq / factor, 1.0
+    if rt == "llama3":
+        low = float(rs.get("low_freq_factor", 1.0))
+        high = float(rs.get("high_freq_factor", 4.0))
+        old_ctx = float(rs.get("original_max_position_embeddings", 8192))
+        wavelen = 2.0 * jnp.pi / inv_freq
+        low_wl = old_ctx / low
+        high_wl = old_ctx / high
+        scaled = jnp.where(wavelen > low_wl, inv_freq / factor, inv_freq)
+        smooth = (old_ctx / wavelen - low) / (high - low)
+        smoothed = (1.0 - smooth) * scaled / factor + smooth * scaled
+        is_medium = (wavelen >= high_wl) & (wavelen <= low_wl)
+        return jnp.where(is_medium, smoothed, scaled), 1.0
+    # yarn
+    beta_fast = float(rs.get("beta_fast") or 32)
+    beta_slow = float(rs.get("beta_slow") or 1)
+    old_ctx = float(rs.get("original_max_position_embeddings", 4096))
+    truncate = bool(rs.get("truncate", True))
+    att = rs.get("attention_factor")
+    if att is None:
+        mscale, mscale_all = rs.get("mscale"), rs.get("mscale_all_dim")
+
+        def get_mscale(scale, m=1.0):
+            return 1.0 if scale <= 1 else 0.1 * m * math.log(scale) + 1.0
+
+        if mscale and mscale_all:
+            att = get_mscale(factor, mscale) / get_mscale(factor, mscale_all)
+        else:
+            att = get_mscale(factor)
+
+    def corr_dim(n_rot):
+        return (head_dim * math.log(old_ctx / (n_rot * 2 * math.pi))) / (
+            2 * math.log(theta)
+        )
+
+    low = corr_dim(beta_fast)
+    high = corr_dim(beta_slow)
+    if truncate:
+        low, high = math.floor(low), math.ceil(high)
+    low, high = max(low, 0), min(high, head_dim - 1)
+    if low == high:
+        high += 0.001
+    ramp = jnp.clip(
+        (jnp.arange(head_dim // 2, dtype=jnp.float32) - low) / (high - low), 0, 1
+    )
+    extrapolation_factor = 1.0 - ramp
+    inv = inv_freq / factor * (1 - extrapolation_factor) + inv_freq * extrapolation_factor
+    return inv, float(att)
 
 
 def _rope_cos_sin(
@@ -263,10 +306,10 @@ def _rope_cos_sin(
     scaling: Optional[tuple] = None,
 ) -> Tuple[Array, Array]:
     """HF-convention rotary tables: [T, head_dim] with duplicated halves."""
-    inv_freq = _scaled_inv_freq(head_dim, theta, scaling)
+    inv_freq, att = _rope_params(head_dim, theta, scaling)
     freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, hd/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb), jnp.sin(emb)
+    return jnp.cos(emb) * att, jnp.sin(emb) * att
 
 
 def _apply_rope(x: Array, cos: Array, sin: Array) -> Array:

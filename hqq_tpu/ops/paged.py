@@ -135,9 +135,10 @@ def paged_attention_ref(
     page_indices: Array,  # [B, MP] int32
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sinks: Optional[Array] = None,  # [nh] gpt-oss attention sinks
 ) -> Array:
     """Gather-based paged attention (CPU tests, fallback, and the
-    window/softcap cases the Pallas kernel does not support)."""
+    window/softcap/sink cases the Pallas kernel does not support)."""
     b, nh, hd = q.shape
     h = k_pages.shape[0]
     mp, pg = page_indices.shape[1], k_pages.shape[2]
@@ -163,7 +164,15 @@ def paged_attention_ref(
         # query position is lengths-1 (the just-written token)
         valid &= key_pos > (lengths[:, None] - 1 - window)
     scores = jnp.where(valid[:, None, :], scores, neg)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    if sinks is not None:
+        # per-head sink logit joins the softmax; its mass is dropped
+        sk = sinks.reshape(1, -1, 1).astype(jnp.float32)
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), sk)
+        num = jnp.exp(scores - m)
+        den = jnp.sum(num, axis=-1, keepdims=True) + jnp.exp(sk - m)
+        probs = (num / den).astype(q.dtype)
+    else:
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     return jnp.einsum("bhs,bhsd->bhd", probs, v_seq)
 
 
@@ -176,16 +185,18 @@ def paged_attn(
     pages_per_block: int = 4,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sinks: Optional[Array] = None,
 ) -> Array:
     """Dispatch: Pallas kernel on TPU for plain-causal layers; gather-based
-    implementation for window/softcap layers and off-TPU."""
+    implementation for window/softcap/sink layers and off-TPU."""
     k_pages, v_pages = cache.k[layer_idx], cache.v[layer_idx]
     ks = None if cache.k_scales is None else cache.k_scales[layer_idx]
     vs = None if cache.v_scales is None else cache.v_scales[layer_idx]
     # the production kernel's block shapes need a lane-aligned head_dim;
     # small/toy models fall back to the gather implementation
     kernel_ok = k_pages.shape[-1] % 128 == 0
-    if jax.default_backend() == "tpu" and window is None and softcap is None and kernel_ok:
+    if (jax.default_backend() == "tpu" and window is None and softcap is None
+            and sinks is None and kernel_ok):
         from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
         from jax.experimental.pallas.ops.tpu.paged_attention.quantization_utils import (
             QuantizedTensor,
@@ -207,5 +218,6 @@ def paged_attn(
         v_pages = v_pages.astype(jnp.float32) * (vs / 127.0)
         q = q.astype(jnp.float32)
     return paged_attention_ref(
-        q, k_pages, v_pages, lengths, page_indices, window=window, softcap=softcap
+        q, k_pages, v_pages, lengths, page_indices, window=window,
+        softcap=softcap, sinks=sinks,
     )

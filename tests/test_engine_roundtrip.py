@@ -72,6 +72,11 @@ def _build(model_type):
 
         cfg = gemma3.Gemma3Config.tiny()
         params = gemma3.init_params(cfg, key, dtype=jnp.float32)
+    elif model_type == "gpt_oss":
+        from hqq_tpu.models import gpt_oss
+
+        cfg = gpt_oss.GptOssConfig.tiny()
+        params = gpt_oss.init_params(cfg, key, dtype=jnp.float32)
     elif model_type == "cohere":
         from hqq_tpu.models import cohere
 

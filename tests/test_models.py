@@ -244,5 +244,5 @@ def test_unsupported_rope_scaling_rejected():
         llama.LlamaConfig.from_hf({
             "vocab_size": 128, "hidden_size": 64, "intermediate_size": 128,
             "num_hidden_layers": 2, "num_attention_heads": 4,
-            "rope_scaling": {"rope_type": "yarn", "factor": 4.0},
+            "rope_scaling": {"rope_type": "longrope", "factor": 4.0},
         })

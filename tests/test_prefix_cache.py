@@ -155,3 +155,53 @@ def test_cancel_mid_chunked_prefill(model):
     assert eng.cancel(uid)
     assert not eng._prefilling
     assert len(eng.free_pages) == free0  # pages released
+
+
+def test_fuzz_page_accounting_invariant(model):
+    """Random workload fuzz: adds, cancels, steps — across prefix caching,
+    chunked prefill and int8 pages — must never leak or double-free pages:
+    free + in-flight + cached-unreferenced == total usable, and every
+    finished request respects max_new_tokens."""
+    cfg, params = model
+    rng = np.random.default_rng(7)
+    eng = _engine(params, cfg, batch_slots=3, num_pages=24,
+                  max_pages_per_seq=8, enable_prefix_cache=True,
+                  prefill_chunk=8, quantize_kv=True)
+    total_usable = 24 - 1  # page 0 reserved
+
+    def check_invariant():
+        in_flight = set()
+        for pages in eng.slot_pages:
+            in_flight.update(pages)
+        for st in eng._prefilling.values():
+            in_flight.update(st["pages"])
+        cached_idle = {
+            p for p in (eng._prefix_cache or {}).values()
+            if eng._page_ref.get(p, 0) == 0 and p not in in_flight
+        }
+        free = set(eng.free_pages)
+        assert not (free & in_flight), "freed page still in a block table"
+        assert len(free) + len(in_flight | cached_idle) == total_usable, (
+            len(free), len(in_flight), len(cached_idle))
+
+    uids = []
+    shared = [3, 1, 4, 1, 5, 9, 2, 6]
+    for it in range(40):
+        op = rng.integers(0, 10)
+        if op < 4:
+            plen = int(rng.integers(1, 14))
+            prompt = (shared + list(rng.integers(0, 200, plen)))[: 6 + plen]
+            try:
+                uids.append(eng.add_request(prompt,
+                                            max_new_tokens=int(rng.integers(1, 10))))
+            except ValueError:
+                pass
+        elif op < 5 and uids:
+            eng.cancel(int(rng.choice(uids)))
+        else:
+            eng.step()
+        check_invariant()
+    outs = eng.run()
+    check_invariant()
+    for uid, r in eng.finished.items():
+        assert len(r.output) <= r.max_new_tokens
