@@ -655,6 +655,10 @@ def quant_matmul_pallas_a8(
     kernel for M <= 32, the batched per-group variant otherwise."""
     if interpret is None:
         interpret = _auto_interpret()
+    if kqt.nbits == 8:
+        # true 8-bit codes (0..255) cannot ride int8 MXU operands (the
+        # in-register cast would wrap); the bf16-operand kernel serves them
+        return quant_matmul_pallas(x, kqt, interpret=interpret)
     g = kqt.group_size
     k_arr = kqt.wq.shape[0] * kqt.r
     k_logical, n = _logical_dims(kqt)

@@ -159,3 +159,31 @@ def test_a8_serialization_roundtrip(tmp_path):
     l1, _ = llama.forward(a8, cfg, tokens)
     l2, _ = llama.forward(loaded, cfg, tokens)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("nbits", [6, 3, 1.58])
+def test_container_widths_safe_in_int8(nbits):
+    """6/5-bit (8-bit container, codes <= 63) and 3-bit (4-bit container)
+    codes fit int8 exactly — the a8 routes stay weight-side exact."""
+    g = 32
+    w, qt, kqt = _make(256, 512, g, nbits)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 512), jnp.float32)
+    w_dq = np.asarray(dequantize(qt, jnp.float32))
+    x8, sx = quantize_activations_int8(x)
+    expected = (np.asarray(x8, np.float32) * np.asarray(sx)) @ w_dq.T
+    got = np.asarray(quant_matmul_pallas_a8(x, kqt), np.float32)
+    rel = np.abs(got - expected).max() / np.abs(expected).max()
+    assert rel < 2e-5, (nbits, rel)
+
+
+def test_8bit_codes_fall_back_to_bf16_kernel():
+    """True 8-bit codes (0..255) would wrap in an int8 cast: the a8 wrapper
+    must route them through the bf16-operand kernel (full-precision
+    activations, exact output)."""
+    w, qt, kqt = _make(256, 512, 32, 8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 512), jnp.float32)
+    w_dq = np.asarray(dequantize(qt, jnp.float32))
+    expected = np.asarray(x) @ w_dq.T
+    got = np.asarray(quant_matmul_pallas_a8(x, kqt), np.float32)
+    rel = np.abs(got - expected).max() / np.abs(expected).max()
+    assert rel < 2e-5, rel
