@@ -29,6 +29,7 @@ from jax import Array
 
 from ..nn.linear import Linear
 from . import llama
+from . import llama
 from .llama import KVCache, _update_stacked_cache, positions_and_masks, rms_norm
 
 __all__ = ["DeepseekV3Config", "init_params", "forward", "init_cache"]
@@ -57,6 +58,14 @@ class DeepseekV3Config:
     v_head_dim: int = 128
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
+    # YaRN scaling (real V3 checkpoints ship it): canonical hashable tuple,
+    # see llama.LlamaConfig. The mscale_all_dim term additionally scales the
+    # attention softmax (DeepSeek convention, ≙ HF DeepseekV3Attention).
+    rope_scaling: "tuple | None" = None
+    # real V3 checkpoints store the rope dims interleaved (even/odd pairs);
+    # HF de-interleaves q/k before the standard rotation (≙ HF
+    # `apply_rotary_pos_emb_interleave`, config default True)
+    rope_interleave: bool = True
     max_position_embeddings: int = 4096
     tie_word_embeddings: bool = False
     # shared-helper compatibility
@@ -65,6 +74,23 @@ class DeepseekV3Config:
     @property
     def qk_head_dim(self) -> int:
         return self.qk_nope_head_dim + self.qk_rope_head_dim
+
+    @property
+    def attn_scale_(self) -> float:
+        """qk_head_dim**-0.5, times the DeepSeek-YaRN mscale² correction
+        (≙ HF DeepseekV3Attention when rope_scaling has mscale_all_dim)."""
+        import math
+
+        base = self.qk_head_dim**-0.5
+        if self.rope_scaling is None:
+            return base
+        rs = dict(self.rope_scaling)
+        mscale_all = rs.get("mscale_all_dim") or 0
+        if mscale_all:
+            factor = float(rs.get("factor", 1.0))
+            m = 1.0 if factor <= 1 else 0.1 * mscale_all * math.log(factor) + 1.0
+            base = base * m * m
+        return base
 
     @property
     def head_dim_(self) -> int:  # positions_and_masks compatibility (unused dims)
@@ -94,6 +120,10 @@ class DeepseekV3Config:
             v_head_dim=hf.get("v_head_dim", 128),
             rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
             rope_theta=hf.get("rope_theta", 10000.0),
+            rope_scaling=llama.LlamaConfig._canon_rope_scaling(
+                hf.get("rope_scaling")
+            ),
+            rope_interleave=hf.get("rope_interleave", True),
             max_position_embeddings=hf.get("max_position_embeddings", 4096),
         )
 
@@ -221,6 +251,12 @@ def _mla_attention(layer, cfg, x, k_all, v_all, layer_idx, start_pos, mask, cos,
     k_pass, v = kv[..., :nd], kv[..., nd:]
     k_rot = k_rot.reshape(b, 1, t, rd)
 
+    if cfg.rope_interleave:
+        # de-interleave (even dims | odd dims) so the standard rotate-half
+        # rotation pairs original dims (2i, 2i+1); the permuted layout is
+        # kept (q and k permute identically -> scores are unchanged)
+        q_rot = jnp.concatenate([q_rot[..., 0::2], q_rot[..., 1::2]], axis=-1)
+        k_rot = jnp.concatenate([k_rot[..., 0::2], k_rot[..., 1::2]], axis=-1)
     q_rot = llama._apply_rope(q_rot, cos, sin)
     k_rot = llama._apply_rope(k_rot, cos, sin)
     k_rot = jnp.broadcast_to(k_rot, (b, nh, t, rd))
@@ -235,7 +271,7 @@ def _mla_attention(layer, cfg, x, k_all, v_all, layer_idx, start_pos, mask, cos,
         keys, vals = k, v
 
     scores = jnp.einsum("bhtd,bhsd->bhts", q, keys, preferred_element_type=jnp.float32)
-    scores = scores * (cfg.qk_head_dim**-0.5) + mask
+    scores = scores * cfg.attn_scale_ + mask
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhts,bhsd->bhtd", probs, vals)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * vd)

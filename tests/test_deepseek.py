@@ -63,7 +63,14 @@ def test_deepseek3_quantized():
     from hqq_tpu.models.base import quantize_model
     from hqq_tpu.nn.moe import GroupedQuantLinear, quantize_grouped
 
-    cfg = deepseek3.DeepseekV3Config.tiny()
+    import dataclasses
+
+    # rope_interleave=False: on random tiny weights the interleaved rotation
+    # happens to land a token near a gate top-k tie, and 8-bit quantization
+    # flips the routing -> a large (but legitimate) logit diff. Interleave
+    # correctness is covered exactly by the HF parity tests.
+    cfg = dataclasses.replace(deepseek3.DeepseekV3Config.tiny(),
+                              rope_interleave=False)
     params = deepseek3.init_params(cfg, jax.random.PRNGKey(1))
     # quantize attention/dense linears (router gate + norms stay fp)
     q = quantize_model(params, BaseQuantizeConfig(nbits=8, group_size=32),
@@ -83,3 +90,43 @@ def test_deepseek3_quantized():
     rel = np.abs(np.asarray(logits_q) - np.asarray(logits_fp)).mean() / (
         np.abs(np.asarray(logits_fp)).mean() + 1e-9)
     assert rel < 0.1, rel
+
+
+def test_deepseek3_yarn_rope_parity():
+    """Real V3 checkpoints ship YaRN rope scaling with an mscale^2 softmax
+    correction (HF DeepseekV3Attention); logits must match HF."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import numpy as np
+
+    hf_cfg = transformers.DeepseekV3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        n_routed_experts=4, n_shared_experts=1,
+        num_experts_per_tok=2, n_group=2, topk_group=2,
+        q_lora_rank=24, kv_lora_rank=16, qk_rope_head_dim=8,
+        qk_nope_head_dim=16, v_head_dim=16, first_k_dense_replace=1,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        rope_scaling={"rope_type": "yarn", "factor": 16.0,
+                      "beta_fast": 32.0, "beta_slow": 1.0,
+                      "mscale": 1.0, "mscale_all_dim": 1.0,
+                      "original_max_position_embeddings": 32},
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = transformers.DeepseekV3ForCausalLM(hf_cfg).eval().float()
+
+    cfg = deepseek3.DeepseekV3Config.from_hf(hf_cfg.to_dict())
+    assert cfg.rope_scaling is not None
+    import dataclasses as dc
+
+    cfg = dc.replace(cfg)  # sanity: frozen ok
+    params = deepseek3.params_from_hf_state_dict(
+        dict(model.state_dict()), cfg, dtype=jnp.float32
+    )
+    toks = np.array([np.arange(48) % 120], np.int64)  # past the 32-token knee
+    with torch.no_grad():
+        ref = model(torch.from_numpy(toks)).logits.numpy()
+    ours, _ = deepseek3.forward(params, cfg, jnp.asarray(toks, jnp.int32))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4, atol=5e-4)
