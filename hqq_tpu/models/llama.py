@@ -494,20 +494,23 @@ def _attention(
 def _attention_paged(
     layer: dict,
     cfg: LlamaConfig,
-    x: Array,  # [B, 1, D]
+    x: Array,  # [B, T, D] (T=1 decode; T=k speculative verify window)
     cache,  # ops.paged.PagedKVCache
     layer_idx: int,
-    lengths: Array,  # [B] current sequence length (pos of the new token)
+    lengths: Array,  # [B] current sequence length (pos of the first new token)
     page_indices: Array,  # [B, MP]
     cos: Array,
     sin: Array,
     window: "int | None" = None,
     q_scale: "float | None" = None,
 ):
-    """Single-token attention over a paged pool: same projections / q-k norms
-    / RoPE as `_attention`, but K/V land in pages and attention runs the
-    paged kernel (see ops/paged.py). `q_scale` overrides the 1/sqrt(hd)
-    query scaling (granite's attention_multiplier). Returns (out, cache)."""
+    """Attention over a paged pool: same projections / q-k norms / RoPE as
+    `_attention`, but K/V land in pages and attention runs the paged kernel
+    (see ops/paged.py). T>1 supports the speculative-verify window: all T
+    rows are written first, then query j attends keys < lengths+j+1 —
+    exactly history + candidates 0..j (causal). `q_scale` overrides the
+    1/sqrt(hd) query scaling (granite's attention_multiplier).
+    Returns (out, cache)."""
     from ..ops.paged import paged_attn, write_token_to_pages
 
     b, t, d = x.shape
@@ -519,27 +522,38 @@ def _attention_paged(
         q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
     else:
         q, k, v = layer["q_proj"](x), layer["k_proj"](x), layer["v_proj"](x)
-    q = q.reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
+    q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
     if "q_norm" in layer:
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
 
-    page_of = page_indices[jnp.arange(b), lengths // pg]
-    offset = lengths % pg
+    pos_bt = lengths[:, None] + jnp.arange(t)[None, :]  # [B, T]
+    page_of = jnp.take_along_axis(page_indices, pos_bt // pg, axis=1)
+    offset = pos_bt % pg
+    # one flattened [B*T]-row scatter per pool (see write_token_to_pages)
+    kw = k.transpose(0, 2, 1, 3).reshape(b * t, nkv, hd)
+    vw = v.transpose(0, 2, 1, 3).reshape(b * t, nkv, hd)
     cache = write_token_to_pages(
-        cache, layer_idx, k[:, :, 0], v[:, :, 0], page_of, offset
+        cache, layer_idx, kw, vw, page_of.reshape(-1), offset.reshape(-1)
     )
     qdt = jnp.float32 if cache.quantized else cache.k.dtype
     scale = (hd**-0.5) if q_scale is None else q_scale
-    qd = (q[:, :, 0] * scale).astype(qdt)  # [B, nh, hd]
-    attn = paged_attn(
-        qd, cache, layer_idx, lengths + 1, page_indices, window=window
-    )
-    out = attn.reshape(b, 1, nh * hd).astype(x.dtype)
+    qd = (q * scale).astype(qdt)  # [B, nh, T, hd]
+    attn = jnp.stack(
+        [
+            paged_attn(
+                qd[:, :, j], cache, layer_idx, lengths + j + 1, page_indices,
+                window=window,
+            )
+            for j in range(t)
+        ],
+        axis=1,
+    )  # [B, T, nh, hd]
+    out = attn.reshape(b, t, nh * hd).astype(x.dtype)
     return layer["o_proj"](out), cache
 
 
@@ -551,12 +565,13 @@ def _forward_paged(
     lengths: Array,  # [B]
     page_indices: Array,
 ) -> Tuple[Array, Any]:
-    """One paged decode step for all slots (t=1). Shares every architectural
-    detail with the dense `forward` — this is the cache-polymorphic branch."""
+    """One paged step for all slots (t=1 decode; t=k speculative verify).
+    Shares every architectural detail with the dense `forward` — this is the
+    cache-polymorphic branch."""
     toks = tokens if tokens.ndim == 2 else tokens[:, None]
-    b = toks.shape[0]
-    x = jnp.take(params["embed_tokens"], toks, axis=0)  # [B, 1, D]
-    _, cos, sin, _ = positions_and_masks(cfg, 1, lengths, None)
+    b, t = toks.shape
+    x = jnp.take(params["embed_tokens"], toks, axis=0)  # [B, T, D]
+    _, cos, sin, _ = positions_and_masks(cfg, t, lengths, None)
 
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)

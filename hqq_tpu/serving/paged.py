@@ -349,7 +349,10 @@ class PagedBatchingEngine:
             self._page_ref[p] = self._page_ref.get(p, 0) + 1
         self.slot_pages[slot] = pages
         self._slot_cached[slot] = list(shared)
-        self._page_tab[slot, :] = pages[0] if pages else 0
+        # filler entries point at the scratch page 0 (never read thanks to
+        # the length mask; a speculative window's overflow writes land there
+        # harmlessly instead of wrapping onto the slot's own first page)
+        self._page_tab[slot, :] = 0
         self._page_tab[slot, : len(pages)] = pages
 
         s0 = n_shared * self.pg  # first token that must actually run
@@ -402,7 +405,7 @@ class PagedBatchingEngine:
                     self._page_ref[page] = self._page_ref.get(page, 0) + 1
                     self._slot_cached[slot].append(page)
 
-        self._page_tab[slot, :] = pages[0] if pages else 0
+        self._page_tab[slot, :] = 0
         self._page_tab[slot, : len(pages)] = pages
 
         self._key, sub = jax.random.split(self._key)

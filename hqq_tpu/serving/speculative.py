@@ -29,7 +29,11 @@ import jax.numpy as jnp
 from ..models import llama
 from .generate import next_power_of_2
 
-__all__ = ["SpeculativeGenerator"]
+__all__ = [
+    "SpeculativeGenerator",
+    "SpeculativeBatchingEngine",
+    "SpeculativePagedEngine",
+]
 
 
 def _spec_accept(target_logits, draft_logits, proposals, key, temperature):
@@ -356,3 +360,178 @@ class SpeculativeBatchingEngine:
         while self._eng.queue or self._eng.active:
             self.step()
         return {uid: r.output for uid, r in self._eng.finished.items()}
+
+
+class SpeculativePagedEngine:
+    """Paged continuous batching WITH batched speculative decoding.
+
+    The vLLM composition (paged KV + spec decode) the reference inherits,
+    rebuilt TPU-native. Same public API as `PagedBatchingEngine`
+    (add_request / step / run / cancel); each step drafts `k_draft` tokens
+    per slot with the cheap draft model (dense draft cache), then the target
+    verifies the whole window in ONE paged forward of width k_draft
+    (`llama._attention_paged` writes all k candidate rows into the slot's
+    pages first, then query j attends keys < pos+j+1 — exact causality).
+    Token-for-token identical to plain greedy paged decoding of the target.
+
+    Rollback-free on both sides: rejected candidate rows sit in page rows
+    past the committed position and are overwritten by the next window
+    (page allocation is monotonic per slot — the block table is fixed at
+    admission, so a rejected window "allocates" nothing). Overflow writes
+    past a slot's last page land on the reserved scratch page 0. A draft
+    cache row can go stale after a plain-step fallback — that only lowers
+    acceptance (wall-clock), never correctness, because verification is
+    exact.
+    """
+
+    def __init__(
+        self,
+        params: Any,
+        draft_params: Any,
+        cfg: Any,
+        draft_cfg: Optional[Any] = None,
+        k_draft: int = 4,
+        batch_slots: int = 8,
+        num_pages: int = 512,
+        page_size: int = 16,
+        max_pages_per_seq: int = 64,
+        eos_token_id: Optional[int] = None,
+        cache_dtype=jnp.bfloat16,
+        forward_fn: Optional[Callable] = None,
+        draft_forward_fn: Optional[Callable] = None,
+        **paged_kwargs,
+    ):
+        from .paged import PagedBatchingEngine
+
+        # reuse the paged engine for pages + prefill/scheduling machinery
+        self._eng = PagedBatchingEngine(
+            params, cfg, batch_slots=batch_slots, num_pages=num_pages,
+            page_size=page_size, max_pages_per_seq=max_pages_per_seq,
+            eos_token_id=eos_token_id, do_sample=False,
+            cache_dtype=cache_dtype, forward_fn=forward_fn, **paged_kwargs,
+        )
+        self.dcfg = draft_cfg or cfg
+        self.draft_params = draft_params
+        self._dfwd = draft_forward_fn or (
+            lambda p, toks, cache, pos: llama.forward(p, self.dcfg, toks, cache, pos)
+        )
+        self._dmax = max_pages_per_seq * page_size
+        self.dcache = llama.init_cache(self.dcfg, batch_slots, self._dmax, cache_dtype)
+        self.k = int(k_draft)
+        assert self.k >= 2
+        self._spec_jit = jax.jit(self._spec_step_impl)
+        self._dprefill_jit = jax.jit(lambda p, tk, c: self._dfwd(p, tk, c, 0))
+
+    # passthroughs ---------------------------------------------------------
+    def add_request(self, prompt_ids, max_new_tokens: int = 128) -> int:
+        return self._eng.add_request(prompt_ids, max_new_tokens)
+
+    def cancel(self, uid: int) -> bool:
+        return self._eng.cancel(uid)
+
+    @property
+    def finished(self):
+        return self._eng.finished
+
+    # ---------------------------------------------------------------------
+    def _spec_step_impl(self, params, dparams, tokens, cache, dcache, pos, page_tab):
+        """One speculative step for all slots. Returns (committed [B, k],
+        n_commit [B], paged cache, draft cache)."""
+        k = self.k
+
+        def draft_body(carry, _):
+            tok, dcache, p = carry
+            dlogits, dcache = self._dfwd(dparams, tok[:, None], dcache, p)
+            nxt = jnp.argmax(dlogits[:, -1], axis=-1).astype(jnp.int32)
+            return (nxt, dcache, p + 1), nxt
+
+        (_, dcache, _), drafts = jax.lax.scan(
+            draft_body, (tokens, dcache, pos), None, length=k - 1
+        )
+        drafts = drafts.T  # [B, k-1]
+
+        # target verifies the whole window in one paged forward of width k
+        cand = jnp.concatenate([tokens[:, None], drafts], axis=1)  # [B, k]
+        tlogits, cache = self._eng._fwd(params, cand, cache, pos, page_tab)
+        preds = jnp.argmax(tlogits, axis=-1).astype(jnp.int32)  # [B, k]
+
+        match = preds[:, : k - 1] == drafts  # [B, k-1]
+        n_acc = jnp.argmin(
+            jnp.concatenate([match, jnp.zeros((match.shape[0], 1), bool)], axis=1),
+            axis=1,
+        )
+        idx = jnp.arange(k - 1)[None, :]
+        committed = jnp.where(idx < n_acc[:, None], drafts, 0)
+        correction = jnp.take_along_axis(preds, n_acc[:, None], axis=1)[:, 0]
+        committed = jnp.concatenate(
+            [committed, jnp.zeros_like(correction)[:, None]], axis=1
+        )
+        committed = committed.at[jnp.arange(committed.shape[0]), n_acc].set(correction)
+        return committed, n_acc + 1, cache, dcache
+
+    def step(self) -> int:
+        eng = self._eng
+        eng._schedule()
+        for slot in list(eng._prefilling):
+            eng._advance_prefill(slot)
+        if not eng.active:
+            return len(eng._prefilling)
+
+        # prefill freshly admitted prompts (+ already-emitted tokens) into
+        # the DRAFT cache — target prefill happened in the engine's _admit
+        for slot, req in eng.active.items():
+            if getattr(req, "_draft_done", False):
+                continue
+            ctx = np.concatenate([req.prompt, np.asarray(req.output[:-1], np.int32)])
+            t = len(ctx)
+            t_pad = next_power_of_2(max(t, 2))
+            buf = np.zeros((1, t_pad), np.int32)
+            buf[0, :t] = ctx
+            mini = llama.init_cache(self.dcfg, 1, self._dmax, self.dcache.k.dtype)
+            _, mini = self._dprefill_jit(self.draft_params, jnp.asarray(buf), mini)
+            self.dcache = llama.KVCache(
+                k=jax.lax.dynamic_update_slice(self.dcache.k, mini.k, (0, slot, 0, 0, 0)),
+                v=jax.lax.dynamic_update_slice(self.dcache.v, mini.v, (0, slot, 0, 0, 0)),
+            )
+            req._draft_done = True
+
+        # a verify window needs room for k candidate rows + 1: slots near
+        # page exhaustion fall back to ONE plain paged step (they retire via
+        # _maybe_finish, then speculation resumes)
+        room = min(
+            len(eng.slot_pages[s]) * eng.pg - int(eng._pos[s]) for s in eng.active
+        )
+        if room < self.k + 1:
+            from .paged import PagedBatchingEngine
+
+            return PagedBatchingEngine.step(eng)
+
+        committed, n_commit, eng.cache, self.dcache = self._spec_jit(
+            eng.params, self.draft_params,
+            jnp.asarray(eng._tokens), eng.cache, self.dcache,
+            jnp.asarray(eng._pos), jnp.asarray(eng._page_tab),
+        )
+        committed = np.asarray(committed)
+        n_commit = np.asarray(n_commit)
+        for slot in list(eng.active):
+            req = eng.active.get(slot)
+            if req is None:
+                continue
+            page_room = len(eng.slot_pages[slot]) * eng.pg
+            n = min(int(n_commit[slot]), page_room - 1 - int(eng._pos[slot]))
+            for j in range(n):
+                req = eng.active.get(slot)
+                if req is None:
+                    break
+                tok = int(committed[slot, j])
+                req.output.append(tok)
+                eng._tokens[slot] = tok
+                eng._pos[slot] += 1
+                eng._maybe_finish(slot)
+        return len(eng.active) + len(eng._prefilling)
+
+    def run(self):
+        eng = self._eng
+        while eng.queue or eng.active or eng._prefilling:
+            self.step()
+        return {uid: r.output for uid, r in eng.finished.items()}

@@ -117,3 +117,78 @@ def test_speculative_batching_engine_accepts_multiple():
         n_steps += 1
     assert len(eng.finished[uid].output) == 17
     assert n_steps < 16, n_steps  # 16 post-admit tokens in < 16 steps
+
+
+def test_speculative_paged_engine_exact():
+    """Paged spec engine (vLLM's paged+speculative composition): output is
+    token-identical to the plain paged engine's greedy decode — the width-k
+    verify window writes candidate rows into pages and attends causally."""
+    from hqq_tpu.serving.paged import PagedBatchingEngine
+    from hqq_tpu.serving.speculative import SpeculativePagedEngine
+
+    cfg = LlamaConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    draft = quantize_model(params, BaseQuantizeConfig(nbits=3, group_size=32),
+                           compute_dtype=jnp.float32)
+
+    prompts = [[3, 17, 29, 5], [11, 2], [7, 23, 23, 41, 9]]
+    ref_eng = PagedBatchingEngine(params, cfg, batch_slots=2, num_pages=32,
+                                  page_size=4, max_pages_per_seq=8,
+                                  cache_dtype=jnp.float32)
+    uids = [ref_eng.add_request(p, max_new_tokens=8) for p in prompts]
+    refs = ref_eng.run()
+
+    eng = SpeculativePagedEngine(
+        params, draft, cfg, k_draft=4, batch_slots=2, num_pages=32,
+        page_size=4, max_pages_per_seq=8, cache_dtype=jnp.float32,
+    )
+    vids = [eng.add_request(p, max_new_tokens=8) for p in prompts]
+    outs = eng.run()
+    for u, v in zip(uids, vids):
+        assert outs[v] == refs[u], (outs[v], refs[u])
+
+
+def test_speculative_paged_engine_accepts_multiple():
+    """Draft == target: multi-token commits make the run take strictly
+    fewer steps than tokens (same bound as the dense spec engine)."""
+    from hqq_tpu.serving.speculative import SpeculativePagedEngine
+
+    cfg = LlamaConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(1), jnp.float32)
+    eng = SpeculativePagedEngine(
+        params, params, cfg, k_draft=4, batch_slots=1, num_pages=32,
+        page_size=4, max_pages_per_seq=16, cache_dtype=jnp.float32,
+    )
+    uid = eng.add_request([3, 17, 29], max_new_tokens=17)
+    n_steps = 0
+    while eng._eng.queue or eng._eng.active or eng._eng._prefilling:
+        eng.step()
+        n_steps += 1
+    assert len(eng.finished[uid].output) == 17
+    assert n_steps < 16, n_steps
+
+
+def test_speculative_paged_near_page_exhaustion():
+    """A request whose page budget ends mid-window: the engine falls back to
+    plain steps near exhaustion and the output still matches the plain paged
+    engine exactly (no scratch-page reads below the committed position)."""
+    from hqq_tpu.serving.paged import PagedBatchingEngine
+    from hqq_tpu.serving.speculative import SpeculativePagedEngine
+
+    cfg = LlamaConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(2), jnp.float32)
+    prompt = [5, 9, 3, 7, 2]
+    # 3 pages x 4 = 12 rows total; prompt 5 + 7 new = 12 (exactly full)
+    ref_eng = PagedBatchingEngine(params, cfg, batch_slots=1, num_pages=16,
+                                  page_size=4, max_pages_per_seq=4,
+                                  cache_dtype=jnp.float32)
+    u = ref_eng.add_request(prompt, max_new_tokens=7)
+    refs = ref_eng.run()
+
+    eng = SpeculativePagedEngine(
+        params, params, cfg, k_draft=4, batch_slots=1, num_pages=16,
+        page_size=4, max_pages_per_seq=4, cache_dtype=jnp.float32,
+    )
+    v = eng.add_request(prompt, max_new_tokens=7)
+    outs = eng.run()
+    assert outs[v] == refs[u], (outs[v], refs[u])
