@@ -200,18 +200,30 @@ def init_params(cfg: LlamaConfig, key: Array, dtype=jnp.bfloat16) -> dict:
 
 @struct.dataclass
 class KVCache:
-    """Static-shape KV cache: k/v are [L, B, n_kv, S_max, head_dim]."""
+    """Static-shape KV cache: k/v are [L, B, n_kv, S_max, head_dim].
+
+    With `quantized` (k_scales set) the pools are int8 with per-row absmax
+    scales [L, B, n_kv, S_max, 1] — half the KV bytes per decode step (KV
+    reads are ~35% of a batch-8 7B step's HBM traffic), same scheme as the
+    paged pool's int8 pages (ops/paged.py)."""
 
     k: Array
     v: Array
+    k_scales: Optional[Array] = None
+    v_scales: Optional[Array] = None
 
     @property
     def max_len(self) -> int:
         return self.k.shape[3]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scales is not None
+
 
 def init_cache(
-    cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+    cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+    quantize_kv: bool = False,
 ) -> KVCache:
     shape = (
         cfg.num_hidden_layers,
@@ -220,6 +232,13 @@ def init_cache(
         max_len,
         cfg.head_dim_,
     )
+    if quantize_kv:
+        sshape = shape[:-1] + (1,)
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            k_scales=jnp.ones(sshape, jnp.float32),
+            v_scales=jnp.ones(sshape, jnp.float32),
+        )
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -450,9 +469,17 @@ def _attention(
     mask: Array,
     cos: Array,
     sin: Array,
-) -> Tuple[Array, Array, Array]:
+    ks_all: Optional[Array] = None,
+    vs_all: Optional[Array] = None,
+) -> Tuple[Array, ...]:
     """Attention over the stacked cache; returns (out, k_all, v_all) with the
-    layer's new K/V written in place."""
+    layer's new K/V written in place.
+
+    With `ks_all`/`vs_all` given the pools are int8 with per-row scales (see
+    `KVCache.quantized`): new rows are absmax-quantized before the write, the
+    layer's window is dequantized on read (XLA fuses gather+scale+cast — the
+    HBM bytes are the int8 codes), and the return is the 5-tuple
+    (out, k_all, v_all, ks_all, vs_all)."""
     b, t, d = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
 
@@ -474,12 +501,42 @@ def _attention(
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
 
+    rep = nh // nkv
+    if ks_all is not None:
+        from ..ops.paged import quant_rows
+
+        kq, ks = quant_rows(k)
+        vq, vs = quant_rows(v)
+        k_all, v_all = _update_stacked_cache(k_all, v_all, layer_idx, kq, vq, start_pos)
+        ks_all, vs_all = _update_stacked_cache(
+            ks_all, vs_all, layer_idx, ks, vs, start_pos
+        )
+        # scale-after-dot: per-row K scales multiply score COLUMNS and V
+        # scales fold into the probs — same math as dequantize-then-attend,
+        # reordered so no dequantized [H, S, hd] window is materialized
+        # (measured: dequant-first costs ~16% at batch 8, this is neutral)
+        keys, vals = k_all[layer_idx], v_all[layer_idx]
+        ksl = ks_all[layer_idx][..., 0] / 127.0  # [B, nkv, S]
+        vsl = vs_all[layer_idx][..., 0] / 127.0
+        if rep > 1:
+            keys, vals = jnp.repeat(keys, rep, 1), jnp.repeat(vals, rep, 1)
+            ksl, vsl = jnp.repeat(ksl, rep, 1), jnp.repeat(vsl, rep, 1)
+        scores = jnp.einsum(
+            "bhtd,bhsd->bhts", q, keys.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * (ksl[:, :, None, :] / jnp.sqrt(hd).astype(jnp.float32))
+        probs = jax.nn.softmax((scores + mask).astype(jnp.float32), axis=-1)
+        probs = (probs * vsl[:, :, None, :]).astype(q.dtype)
+        out = jnp.einsum("bhts,bhsd->bhtd", probs, vals.astype(q.dtype))
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd).astype(x.dtype)
+        return layer["o_proj"](out), k_all, v_all, ks_all, vs_all
+
     k_all, v_all = _update_stacked_cache(k_all, v_all, layer_idx, k, v, start_pos)
+    keys, vals = k_all[layer_idx], v_all[layer_idx]
 
     # GQA: expand kv heads to query heads.
-    rep = nh // nkv
-    keys = jnp.repeat(k_all[layer_idx], rep, axis=1) if rep > 1 else k_all[layer_idx]
-    vals = jnp.repeat(v_all[layer_idx], rep, axis=1) if rep > 1 else v_all[layer_idx]
+    keys = jnp.repeat(keys, rep, axis=1) if rep > 1 else keys
+    vals = jnp.repeat(vals, rep, axis=1) if rep > 1 else vals
 
     scores = jnp.einsum(
         "bhtd,bhsd->bhts", q, keys, preferred_element_type=jnp.float32
@@ -641,15 +698,21 @@ def forward(
 
     if cache is not None:
         k_all, v_all = cache.k, cache.v
+        ks_all, vs_all = cache.k_scales, cache.v_scales
     else:
         # self-contained attention over the current window (single-"layer"
         # scratch cache reused per block)
-        k_all = v_all = None
+        k_all = v_all = ks_all = vs_all = None
 
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
         if cache is None:
             attn_out = _attention_nocache(layer["self_attn"], cfg, h, mask, cos, sin)
+        elif ks_all is not None:
+            attn_out, k_all, v_all, ks_all, vs_all = _attention(
+                layer["self_attn"], cfg, h, k_all, v_all, i, start_pos,
+                mask, cos, sin, ks_all, vs_all,
+            )
         else:
             attn_out, k_all, v_all = _attention(
                 layer["self_attn"], cfg, h, k_all, v_all, i, start_pos,
@@ -667,5 +730,8 @@ def forward(
     else:
         logits = params["lm_head"](x).astype(jnp.float32)
 
-    new_cache = KVCache(k=k_all, v=v_all) if cache is not None else None
+    new_cache = (
+        KVCache(k=k_all, v=v_all, k_scales=ks_all, v_scales=vs_all)
+        if cache is not None else None
+    )
     return logits, new_cache

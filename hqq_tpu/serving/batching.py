@@ -66,6 +66,7 @@ class ContinuousBatchingEngine:
         forward_fn: Optional[Callable] = None,
         seed: int = 0,
         horizon: int = 1,
+        quantize_kv: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -80,7 +81,12 @@ class ContinuousBatchingEngine:
             lambda p, toks, cache, pos: llama.forward(p, cfg, toks, cache, pos)
         )
 
-        self.cache = llama.init_cache(cfg, batch_slots, max_len, cache_dtype)
+        # quantize_kv: int8 KV pools with per-row scales — half the KV bytes
+        # per decode step (same scheme as the paged engine's int8 pages)
+        self.quantize_kv = bool(quantize_kv)
+        self._cache_dtype = cache_dtype
+        self.cache = llama.init_cache(cfg, batch_slots, max_len, cache_dtype,
+                                      quantize_kv=quantize_kv)
         self._key = jax.random.PRNGKey(seed)
 
         # host-side state
@@ -183,20 +189,32 @@ class ContinuousBatchingEngine:
         prompt[0, :t] = req.prompt
 
         self._adapter[slot] = req.adapter_id
-        mini = llama.init_cache(self.cfg, 1, self.max_len, self.cache.k.dtype)
+        # prefill runs in a FULL-PRECISION mini-cache (so prefill logits and
+        # the first sampled token are unaffected by KV quantization — same
+        # split as the paged engine); rows quantize at the splice
+        mini = llama.init_cache(self.cfg, 1, self.max_len, self._cache_dtype)
         logits, mini = self._prefill_jit(
             self.params, jnp.asarray(prompt), mini,
             jnp.asarray([req.adapter_id], jnp.int32), t_pad=t_pad,
         )
         # splice the mini-cache into this slot's rows
-        self.cache = llama.KVCache(
-            k=jax.lax.dynamic_update_slice(
-                self.cache.k, mini.k, (0, slot, 0, 0, 0)
-            ),
-            v=jax.lax.dynamic_update_slice(
-                self.cache.v, mini.v, (0, slot, 0, 0, 0)
-            ),
-        )
+        at = (0, slot, 0, 0, 0)
+        if self.cache.quantized:
+            from ..ops.paged import quant_rows
+
+            kq, ks = quant_rows(mini.k)
+            vq, vs = quant_rows(mini.v)
+            self.cache = llama.KVCache(
+                k=jax.lax.dynamic_update_slice(self.cache.k, kq, at),
+                v=jax.lax.dynamic_update_slice(self.cache.v, vq, at),
+                k_scales=jax.lax.dynamic_update_slice(self.cache.k_scales, ks, at),
+                v_scales=jax.lax.dynamic_update_slice(self.cache.v_scales, vs, at),
+            )
+        else:
+            self.cache = llama.KVCache(
+                k=jax.lax.dynamic_update_slice(self.cache.k, mini.k, at),
+                v=jax.lax.dynamic_update_slice(self.cache.v, mini.v, at),
+            )
         self._key, sub = jax.random.split(self._key)
         first = sample_token(
             logits[:, t - 1], sub, self.do_sample, self.top_k, self.temperature,

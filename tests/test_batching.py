@@ -231,3 +231,43 @@ def test_cancel_queued_and_running():
     assert len(peng.free_pages) == free0  # pages released
     outs = peng.run()
     assert len(outs[small]) == 4
+
+
+def test_dense_engine_quantized_kv_close_to_fp(model):
+    """int8 KV pools (quantize_kv=True): first token exact (fp prefill,
+    quantize-at-splice), later tokens mostly agree on a tiny random model —
+    same contract as the paged engine's int8 pages."""
+    cfg, qparams = model
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(1, 250, (int(n),))) for n in (6, 14)]
+
+    fp = ContinuousBatchingEngine(qparams, cfg, batch_slots=2, max_len=64,
+                                  cache_dtype=jnp.float32)
+    q8 = ContinuousBatchingEngine(qparams, cfg, batch_slots=2, max_len=64,
+                                  cache_dtype=jnp.float32, quantize_kv=True)
+    for p in prompts:
+        fp.add_request(p, max_new_tokens=8)
+        q8.add_request(p, max_new_tokens=8)
+    out_fp = fp.run()
+    out_q8 = q8.run()
+    total = same = 0
+    for uid in out_fp:
+        assert out_fp[uid][0] == out_q8[uid][0]
+        for a, b in zip(out_fp[uid], out_q8[uid]):
+            total += 1
+            same += int(a == b)
+    assert same / total > 0.5, (same, total)
+
+
+def test_dense_engine_quantized_kv_horizon(model):
+    """quantize_kv composes with horizon stepping (multi-token scan carries
+    the int8 pools + scales through the loop)."""
+    cfg, qparams = model
+    eng1 = ContinuousBatchingEngine(qparams, cfg, batch_slots=1, max_len=64,
+                                    cache_dtype=jnp.float32, quantize_kv=True)
+    engh = ContinuousBatchingEngine(qparams, cfg, batch_slots=1, max_len=64,
+                                    cache_dtype=jnp.float32, quantize_kv=True,
+                                    horizon=4)
+    u1 = eng1.add_request([3, 17, 29, 5], max_new_tokens=9)
+    uh = engh.add_request([3, 17, 29, 5], max_new_tokens=9)
+    assert eng1.run()[u1] == engh.run()[uh]
