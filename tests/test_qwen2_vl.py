@@ -1,0 +1,147 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Qwen2-VL: vision-tower parity, M-RoPE text parity, full multimodal
+logits parity vs HF, quantized decode."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from hqq_tpu.core.quantize import BaseQuantizeConfig
+from hqq_tpu.models import qwen2_vl
+
+
+def _tiny_hf():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    vision = dict(depth=2, embed_dim=32, hidden_size=64, num_heads=4,
+                  in_channels=3, patch_size=4, spatial_merge_size=2,
+                  temporal_patch_size=2, mlp_ratio=2)
+    text = dict(vocab_size=256, hidden_size=64, intermediate_size=48,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, max_position_embeddings=256,
+                rope_theta=10000.0, tie_word_embeddings=False,
+                rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]})
+    hf_cfg = transformers.Qwen2VLConfig(
+        text_config=text, vision_config=vision,
+        image_token_id=250, video_token_id=251, vision_start_token_id=249,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = transformers.Qwen2VLForConditionalGeneration(hf_cfg).eval().float()
+    cfg = qwen2_vl.Qwen2VLConfig.from_hf(hf_cfg.to_dict())
+    assert cfg.mrope_section == (2, 3, 3)
+    text_p, vis_p = qwen2_vl.params_from_hf_state_dict(
+        dict(model.state_dict()), cfg, dtype=jnp.float32
+    )
+    return torch, model, cfg, text_p, vis_p
+
+
+@pytest.fixture(scope="module")
+def setup():
+    return _tiny_hf()
+
+
+def test_vision_tower_parity(setup):
+    torch, model, cfg, _, vis_p = setup
+    vc = cfg.vision
+    grid = ((1, 4, 4),)  # 16 patches -> 4 merged tokens
+    n = 16
+    rng = np.random.default_rng(0)
+    patches = rng.standard_normal((n, vc.patch_dim)).astype(np.float32)
+    with torch.no_grad():
+        ref = model.model.visual(
+            torch.from_numpy(patches), grid_thw=torch.tensor([[1, 4, 4]])
+        ).numpy()
+    ours = qwen2_vl.vision_forward(vis_p, vc, jnp.asarray(patches), grid)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_vision_tower_two_images(setup):
+    torch, model, cfg, _, vis_p = setup
+    vc = cfg.vision
+    grid = ((1, 4, 4), (1, 2, 2))
+    n = 16 + 4
+    rng = np.random.default_rng(1)
+    patches = rng.standard_normal((n, vc.patch_dim)).astype(np.float32)
+    with torch.no_grad():
+        ref = model.model.visual(
+            torch.from_numpy(patches),
+            grid_thw=torch.tensor([[1, 4, 4], [1, 2, 2]]),
+        ).numpy()
+    ours = qwen2_vl.vision_forward(vis_p, vc, jnp.asarray(patches), grid)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_full_multimodal_parity(setup):
+    """input_ids with image placeholders + pixel patches through BOTH stacks;
+    logits must match (vision splice + M-RoPE position ids)."""
+    torch, model, cfg, text_p, vis_p = setup
+    vc = cfg.vision
+    grid = ((1, 4, 4),)
+    n_patches, n_merged = 16, 4
+    rng = np.random.default_rng(2)
+    patches = rng.standard_normal((n_patches, vc.patch_dim)).astype(np.float32)
+
+    img = cfg.image_token_id
+    toks = np.array([[7, 11, cfg.vision_start_token_id, img, img, img, img,
+                      23, 45, 101, 9]], np.int64)
+    toks_t = torch.from_numpy(toks)
+    grid_t = torch.tensor([[1, 4, 4]])
+    with torch.no_grad():
+        ref = model(input_ids=toks_t, pixel_values=torch.from_numpy(patches),
+                    image_grid_thw=grid_t).logits.numpy()
+        hf_pos, _ = model.model.get_rope_index(toks_t, grid_t)
+
+    img_embeds = qwen2_vl.vision_forward(vis_p, vc, jnp.asarray(patches), grid)
+    assert img_embeds.shape[0] == n_merged
+    # our host-side position-id computation must match HF's
+    pos = qwen2_vl.get_mrope_positions(cfg, toks[0], [(1, 4, 4)])
+    np.testing.assert_array_equal(pos, hf_pos.numpy())
+
+    embeds = qwen2_vl.embed_multimodal(text_p, cfg, jnp.asarray(toks, jnp.int32),
+                                       img_embeds)
+    ours, _ = qwen2_vl.forward(text_p, cfg, None, position_ids=jnp.asarray(pos),
+                               inputs_embeds=embeds)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4, atol=5e-4)
+
+
+def test_quantized_cached_decode(setup):
+    """Quantize both towers, decode with cache: cached logits == full
+    forward at matching positions."""
+    torch, model, cfg, text_p, vis_p = setup
+    from hqq_tpu.models.base import quantize_model
+
+    qtext = quantize_model(text_p, BaseQuantizeConfig(nbits=8, group_size=16),
+                           compute_dtype=jnp.float32)
+    qvis = quantize_model(vis_p, BaseQuantizeConfig(nbits=8, group_size=16),
+                          compute_dtype=jnp.float32, ignore=("patch_embed",))
+
+    vc = cfg.vision
+    grid = ((1, 2, 2),)
+    rng = np.random.default_rng(3)
+    patches = rng.standard_normal((4, vc.patch_dim)).astype(np.float32)
+    img_embeds = qwen2_vl.vision_forward(qvis, vc, jnp.asarray(patches), grid)
+
+    img = cfg.image_token_id
+    toks = np.array([[7, img, 23, 45]], np.int64)
+    pos = qwen2_vl.get_mrope_positions(cfg, toks[0], [(1, 2, 2)])
+    embeds = qwen2_vl.embed_multimodal(qtext, cfg, jnp.asarray(toks, jnp.int32),
+                                       img_embeds)
+    full, _ = qwen2_vl.forward(qtext, cfg, None, position_ids=jnp.asarray(pos),
+                               inputs_embeds=embeds)
+
+    cache = qwen2_vl.init_cache(cfg.text, 1, 16, jnp.float32)
+    logits, cache = qwen2_vl.forward(
+        qtext, cfg, None, cache, 0, position_ids=jnp.asarray(pos),
+        inputs_embeds=embeds,
+    )
+    np.testing.assert_allclose(np.asarray(logits[0, -1]), np.asarray(full[0, -1]),
+                               rtol=2e-4, atol=2e-4)
+    # one decode step past the prompt (positions continue from max+1)
+    nxt_pos = np.full((3, 1, 1), pos.max() + 1)
+    logits, cache = qwen2_vl.forward(
+        qtext, cfg, jnp.asarray([[101]], jnp.int32), cache, 4,
+        position_ids=jnp.asarray(nxt_pos),
+    )
+    assert np.isfinite(np.asarray(logits)).all()
