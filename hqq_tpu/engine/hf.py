@@ -190,6 +190,20 @@ def _register_mixtral():
         "forward": gptoss_mod.forward,
         "loader": gptoss_mod.params_from_hf_state_dict,
     }
+    from ..models import falcon as falcon_mod
+
+    _HQQ_REGISTRY["falcon"] = {
+        "config": falcon_mod.FalconConfig.from_hf,
+        "forward": falcon_mod.forward,
+        "loader": falcon_mod.params_from_hf_state_dict,
+    }
+    from ..models import gpt2 as gpt2_mod
+
+    _HQQ_REGISTRY["gpt2"] = {
+        "config": gpt2_mod.GPT2Config.from_hf,
+        "forward": gpt2_mod.forward,
+        "loader": gpt2_mod.params_from_hf_state_dict,
+    }
 
 
 _register_mixtral()

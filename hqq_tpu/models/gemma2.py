@@ -126,21 +126,23 @@ def _attention(
 
 def _attention_paged(layer, cfg, x, cache, layer_idx, lengths, page_indices,
                      cos, sin, window):
-    """Gemma2/3 single-token paged attention: query_pre_attn_scalar scaling,
-    optional per-head q/k gemma-norm (gemma3), score softcapping and sliding
-    windows handled by the gather path of `ops.paged.paged_attn`."""
+    """Gemma2/3 paged attention (T=1 decode; T=k speculative verify):
+    query_pre_attn_scalar scaling, optional per-head q/k gemma-norm
+    (gemma3), score softcapping and sliding windows handled by the gather
+    path of `ops.paged.paged_attn`. T>1 writes all rows first, then query j
+    attends keys < lengths+j+1 (see llama._attention_paged)."""
     from ..ops.paged import paged_attn, write_token_to_pages
 
-    b = x.shape[0]
+    b, t, _ = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
     if "qkv_proj" in layer:
         qkv = layer["qkv_proj"](x)
         q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
     else:
         q, k, v = layer["q_proj"](x), layer["k_proj"](x), layer["v_proj"](x)
-    q = q.reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
+    q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
     if "q_norm" in layer:  # gemma3
         q = _gemma_norm(q, layer["q_norm"], cfg.rms_norm_eps)
         k = _gemma_norm(k, layer["k_norm"], cfg.rms_norm_eps)
@@ -148,17 +150,26 @@ def _attention_paged(layer, cfg, x, cache, layer_idx, lengths, page_indices,
     k = llama._apply_rope(k, cos, sin)
 
     pg = cache.page_size
-    page_of = page_indices[jnp.arange(b), lengths // pg]
-    offset = lengths % pg
-    cache = write_token_to_pages(cache, layer_idx, k[:, :, 0], v[:, :, 0],
-                                 page_of, offset)
+    pos_bt = lengths[:, None] + jnp.arange(t)[None, :]
+    page_of = jnp.take_along_axis(page_indices, pos_bt // pg, axis=1)
+    offset = pos_bt % pg
+    kw = k.transpose(0, 2, 1, 3).reshape(b * t, nkv, hd)
+    vw = v.transpose(0, 2, 1, 3).reshape(b * t, nkv, hd)
+    cache = write_token_to_pages(cache, layer_idx, kw, vw,
+                                 page_of.reshape(-1), offset.reshape(-1))
     qdt = jnp.float32 if cache.quantized else cache.k.dtype
-    qd = (q[:, :, 0] * (cfg.query_pre_attn_scalar**-0.5)).astype(qdt)
-    attn = paged_attn(
-        qd, cache, layer_idx, lengths + 1, page_indices,
-        window=window, softcap=cfg.attn_logit_softcapping,
+    qd = (q * (cfg.query_pre_attn_scalar**-0.5)).astype(qdt)  # [B, nh, T, hd]
+    attn = jnp.stack(
+        [
+            paged_attn(
+                qd[:, :, j], cache, layer_idx, lengths + j + 1, page_indices,
+                window=window, softcap=cfg.attn_logit_softcapping,
+            )
+            for j in range(t)
+        ],
+        axis=1,
     )
-    out = attn.reshape(b, 1, nh * hd).astype(x.dtype)
+    out = attn.reshape(b, t, nh * hd).astype(x.dtype)
     return layer["o_proj"](out), cache
 
 
@@ -167,15 +178,16 @@ def _forward_paged(params, cfg, tokens, cache, lengths, page_indices):
     sandwich norms, embedding scaling, alternating sliding/full layers,
     gemma3's dual rope tables (local theta on sliding layers), softcaps."""
     toks = tokens if tokens.ndim == 2 else tokens[:, None]
+    t = toks.shape[1]
     x = jnp.take(params["embed_tokens"], toks, axis=0)
     x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
 
     cfg_full = dataclasses.replace(cfg, sliding_window=None)
-    _, cos_g, sin_g, _ = llama.positions_and_masks(cfg_full, 1, lengths, None)
+    _, cos_g, sin_g, _ = llama.positions_and_masks(cfg_full, t, lengths, None)
     local_theta = getattr(cfg, "rope_local_base_freq", None)
     if local_theta is not None:  # gemma3: sliding layers use the local theta
         cfg_local = dataclasses.replace(cfg, rope_theta=local_theta)
-        _, cos_l, sin_l, _ = llama.positions_and_masks(cfg_local, 1, lengths, None)
+        _, cos_l, sin_l, _ = llama.positions_and_masks(cfg_local, t, lengths, None)
     else:
         cos_l, sin_l = cos_g, sin_g
 

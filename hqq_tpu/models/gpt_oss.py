@@ -215,30 +215,41 @@ def _forward_paged(params, cfg, tokens, cache, lengths, page_indices):
     from ..ops.paged import paged_attn, write_token_to_pages
 
     toks = tokens if tokens.ndim == 2 else tokens[:, None]
-    b = toks.shape[0]
+    b, t = toks.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
     x = jnp.take(params["embed_tokens"], toks, axis=0)
-    _, cos, sin, _ = llama.positions_and_masks(cfg, 1, lengths, None)
+    _, cos, sin, _ = llama.positions_and_masks(cfg, t, lengths, None)
     pg = cache.page_size
+    pos_bt = lengths[:, None] + jnp.arange(t)[None, :]
+    page_of = jnp.take_along_axis(page_indices, pos_bt // pg, axis=1)
+    offset = pos_bt % pg
 
     for i, layer in enumerate(params["layers"]):
         sa = layer["self_attn"]
         window = cfg.sliding_window if cfg.layer_is_sliding(i) else None
         h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
-        q = sa["q_proj"](h).reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
-        k = sa["k_proj"](h).reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
-        v = sa["v_proj"](h).reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
+        q = sa["q_proj"](h).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        k = sa["k_proj"](h).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+        v = sa["v_proj"](h).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
         q = llama._apply_rope(q, cos, sin)
         k = llama._apply_rope(k, cos, sin)
-        page_of = page_indices[jnp.arange(b), lengths // pg]
-        offset = lengths % pg
-        cache = write_token_to_pages(cache, i, k[:, :, 0], v[:, :, 0],
-                                     page_of, offset)
+        # T>1 (speculative verify window): write all rows, then query j
+        # attends keys < lengths+j+1 (see llama._attention_paged)
+        kw = k.transpose(0, 2, 1, 3).reshape(b * t, nkv, hd)
+        vw = v.transpose(0, 2, 1, 3).reshape(b * t, nkv, hd)
+        cache = write_token_to_pages(cache, i, kw, vw,
+                                     page_of.reshape(-1), offset.reshape(-1))
         qdt = jnp.float32 if cache.quantized else cache.k.dtype
-        qd = (q[:, :, 0] * (hd**-0.5)).astype(qdt)
-        attn = paged_attn(qd, cache, i, lengths + 1, page_indices,
-                          window=window, sinks=sa["sinks"])
-        x = x + sa["o_proj"](attn.reshape(b, 1, nh * hd).astype(x.dtype))
+        qd = (q * (hd**-0.5)).astype(qdt)
+        attn = jnp.stack(
+            [
+                paged_attn(qd[:, :, j], cache, i, lengths + j + 1, page_indices,
+                           window=window, sinks=sa["sinks"])
+                for j in range(t)
+            ],
+            axis=1,
+        )
+        x = x + sa["o_proj"](attn.reshape(b, t, nh * hd).astype(x.dtype))
         h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + _moe_block(layer["mlp"], cfg, h)
 

@@ -94,7 +94,7 @@ def _forward_paged(params, cfg, tokens, cache, lengths, page_indices):
     toks = tokens if tokens.ndim == 2 else tokens[:, None]
     x = jnp.take(params["embed_tokens"], toks, axis=0)
     x = x * jnp.asarray(cfg.embedding_multiplier, x.dtype)
-    _, cos, sin, _ = llama.positions_and_masks(cfg, 1, lengths, None)
+    _, cos, sin, _ = llama.positions_and_masks(cfg, toks.shape[1], lengths, None)
     rm = jnp.asarray(cfg.residual_multiplier, x.dtype)
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)

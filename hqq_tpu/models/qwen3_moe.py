@@ -197,7 +197,7 @@ def _forward_paged(params, cfg, tokens, cache, lengths, page_indices):
     """Paged decode step (cache polymorphism; see llama._forward_paged)."""
     toks = tokens if tokens.ndim == 2 else tokens[:, None]
     x = jnp.take(params["embed_tokens"], toks, axis=0)
-    _, cos, sin, _ = llama.positions_and_masks(cfg, 1, lengths, None)
+    _, cos, sin, _ = llama.positions_and_masks(cfg, toks.shape[1], lengths, None)
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
         attn_out, cache = llama._attention_paged(

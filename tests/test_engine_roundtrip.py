@@ -92,6 +92,17 @@ def _build(model_type):
 
         cfg = mixtral.MixtralConfig.tiny()
         params = mixtral.init_params(cfg, key, dtype=jnp.float32)
+    elif model_type == "falcon":
+        from hqq_tpu.models import falcon
+
+        cfg = falcon.FalconConfig.tiny(new_decoder_architecture=True,
+                                       num_kv_heads=2, multi_query=False)
+        params = falcon.init_params(cfg, key, dtype=jnp.float32)
+    elif model_type == "gpt2":
+        from hqq_tpu.models import gpt2
+
+        cfg = gpt2.GPT2Config.tiny()
+        params = gpt2.init_params(cfg, key, dtype=jnp.float32)
     else:  # pragma: no cover
         raise KeyError(model_type)
     return cfg, params

@@ -96,3 +96,35 @@ def test_gpt_oss_paged_matches_dense():
     )
     uid = eng.add_request(prompt, max_new_tokens=n_new)
     assert eng.run()[uid] == ref
+
+
+def test_gpt_oss_paged_speculative_matches_paged():
+    """Sinks + per-layer windows through the width-k verify window."""
+    from hqq_tpu.serving.paged import PagedBatchingEngine
+    from hqq_tpu.serving.speculative import SpeculativePagedEngine
+
+    cfg = gpt_oss.GptOssConfig.tiny()
+    params = gpt_oss.init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    for layer in params["layers"]:
+        layer["self_attn"]["sinks"] = jnp.asarray([0.4, -0.2, 0.9, 0.1], jnp.float32)
+    prompt = [3, 17, 29, 5]
+    n_new = 6
+    fwd = lambda p, t, c, s, ptab=None: gpt_oss.forward(  # noqa: E731
+        p, cfg, t, c, s, page_indices=ptab
+    )
+
+    ref_eng = PagedBatchingEngine(params, cfg, batch_slots=1, num_pages=32,
+                                  page_size=4, max_pages_per_seq=8,
+                                  cache_dtype=jnp.float32, forward_fn=fwd)
+    u = ref_eng.add_request(prompt, max_new_tokens=n_new)
+    refs = ref_eng.run()
+
+    eng = SpeculativePagedEngine(
+        params, params, cfg, k_draft=3, batch_slots=1, num_pages=32,
+        page_size=4, max_pages_per_seq=8, cache_dtype=jnp.float32,
+        forward_fn=fwd,
+        draft_forward_fn=lambda p, t, c, s: gpt_oss.forward(p, cfg, t, c, s),
+    )
+    v = eng.add_request(prompt, max_new_tokens=n_new)
+    outs = eng.run()
+    assert outs[v] == refs[u], (outs[v], refs[u])

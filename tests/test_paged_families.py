@@ -141,3 +141,36 @@ def test_quantized_pages_still_work_generic():
     ref = _dense_greedy(fwd, params, cfg, prompt, 4)
     # int8 KV is lossy: require token agreement on the first steps only
     assert outs[uid][0] == ref[0]
+
+
+@pytest.mark.parametrize("family", ["mistral", "granite", "gemma2", "gemma3", "qwen3"])
+def test_paged_speculative_matches_paged(family):
+    """The width-k speculative verify window is family-generic: every paged
+    branch supports T>1 (write-all-rows then per-position queries), so
+    SpeculativePagedEngine + forward_fn produces exactly the plain paged
+    engine's greedy tokens — windows, softcaps and q/k-norms included."""
+    from hqq_tpu.serving.speculative import SpeculativePagedEngine
+
+    cfg, params, fwd = _families()[family]
+    prompt = [3, 17, 29, 5, 11]
+    n_new = 6
+    forward_fn = lambda p, toks, cache, pos, ptab=None: fwd(  # noqa: E731
+        p, cfg, toks, cache, pos, page_indices=ptab
+    )
+
+    ref_eng = PagedBatchingEngine(
+        params, cfg, batch_slots=2, num_pages=32, page_size=4,
+        max_pages_per_seq=8, cache_dtype=jnp.float32, forward_fn=forward_fn,
+    )
+    u = ref_eng.add_request(prompt, max_new_tokens=n_new)
+    refs = ref_eng.run()
+
+    eng = SpeculativePagedEngine(
+        params, params, cfg, k_draft=3, batch_slots=2, num_pages=32,
+        page_size=4, max_pages_per_seq=8, cache_dtype=jnp.float32,
+        forward_fn=forward_fn,
+        draft_forward_fn=lambda p, toks, cache, pos: fwd(p, cfg, toks, cache, pos),
+    )
+    v = eng.add_request(prompt, max_new_tokens=n_new)
+    outs = eng.run()
+    assert outs[v] == refs[u], (family, outs[v], refs[u])
