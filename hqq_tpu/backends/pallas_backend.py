@@ -21,7 +21,9 @@ from ..ops.fused_matmul import (
     quant_matmul_pallas,
     quant_matmul_pallas_a8,
     supports_kernel_layout,
+    supports_kernel_layout_ax0,
     to_kernel_layout,
+    to_kernel_layout_ax0,
 )
 
 __all__ = [
@@ -69,17 +71,23 @@ def patch_quantlinear_to_pallas(
     layer: QuantLinear, meta_dtype=None
 ) -> PallasQuantLinear | QuantLinear:
     """Convert a `QuantLinear` to the fused Pallas backend; returns the layer
-    unchanged when its config is not fusable (axis=0, exotic group sizes) —
-    same graceful-fallback contract as the reference's backend patching
-    (`/root/reference/hqq/utils/patching.py:129-177`)."""
-    if not supports_kernel_layout(layer.qweight):
-        return layer
+    unchanged when its config is not fusable (exotic group sizes) — same
+    graceful-fallback contract as the reference's backend patching
+    (`/root/reference/hqq/utils/patching.py:129-177`). Axis=0 layers convert
+    to the permuted-layout axis=0 kernel (the reference's native layer is
+    axis=0-ONLY, `hqq_aten_cuda.cpp:42` — here both axes fuse)."""
     import jax.numpy as jnp
 
     md = meta_dtype if meta_dtype is not None else jnp.float32
-    return PallasQuantLinear(
-        kqt=to_kernel_layout(layer.qweight, meta_dtype=md), bias=layer.bias
-    )
+    if supports_kernel_layout(layer.qweight):
+        return PallasQuantLinear(
+            kqt=to_kernel_layout(layer.qweight, meta_dtype=md), bias=layer.bias
+        )
+    if supports_kernel_layout_ax0(layer.qweight):
+        return PallasQuantLinear(
+            kqt=to_kernel_layout_ax0(layer.qweight, meta_dtype=md), bias=layer.bias
+        )
+    return layer
 
 
 @struct.dataclass
@@ -134,14 +142,39 @@ def patch_quantlinear_to_w4a8(
     import jax.numpy as jnp
 
     md = meta_dtype if meta_dtype is not None else jnp.float32
-    g = layer.qweight.group_size
-    k = layer.qweight.shape[1]
-    pad32 = -(-k // (32 * g)) * 32 * g
-    pad_groups = 32 if (pad32 - k) * 8 <= k else 8
     return A8QuantLinear(
-        kqt=to_kernel_layout(layer.qweight, meta_dtype=md, pad_k_groups=pad_groups),
+        kqt=to_kernel_layout(
+            layer.qweight, meta_dtype=md,
+            pad_k_groups=_a8_pad_k_groups(layer.qweight),
+        ),
         bias=layer.bias,
     )
+
+
+def _a8_pad_k_groups(qt) -> int:
+    """K-padding group multiple for the a8 kernels (see
+    `patch_quantlinear_to_w4a8` docstring for the 32-vs-8 tradeoff)."""
+    g = qt.group_size
+    k = qt.shape[1]
+    pad32 = -(-k // (32 * g)) * 32 * g
+    return 32 if (pad32 - k) * 8 <= k else 8
+
+
+def _patch_w4a8_any_axis(layer: QuantLinear, meta_dtype=None):
+    """w4a8 conversion covering both axes: axis=1 gets the int8-operand
+    kernels; axis=0 gets the fused bf16-operand axis=0 kernel (its scales
+    vary along K per output row, so int8-dot factorization doesn't apply —
+    the A8 module's matmul dispatches accordingly)."""
+    if supports_kernel_layout(layer.qweight):
+        return patch_quantlinear_to_w4a8(layer, meta_dtype)
+    if supports_kernel_layout_ax0(layer.qweight):
+        import jax.numpy as jnp
+
+        md = meta_dtype if meta_dtype is not None else jnp.float32
+        return A8QuantLinear(
+            kqt=to_kernel_layout_ax0(layer.qweight, meta_dtype=md), bias=layer.bias
+        )
+    return layer
 
 
 @struct.dataclass
@@ -186,6 +219,55 @@ def patch_lora_to_pallas(lora) -> "PallasLoRAQuantLinear | Any":
         bias = lora.bias if bias is None else bias + lora.bias
     return PallasLoRAQuantLinear(
         kqt=to_kernel_layout(base.qweight),
+        a=lora.lora_a,
+        b=lora.lora_b * lora.scaling,
+        bias=bias,
+    )
+
+
+@struct.dataclass
+class A8LoRAQuantLinear:
+    """HQQ+ on the w4a8 serving path: int8-operand decode kernel with the
+    LoRA epilogue fused in (`ops.fused_matmul.quant_matmul_pallas_a8_lora`) —
+    BASELINE config 4 without forfeiting the int8-MXU-rate decode path.
+    The adapter dot runs at full activation precision."""
+
+    kqt: Any
+    a: Any  # [K, r]
+    b: Any  # [r, N] (scaling folded)
+    bias: Optional[Any] = None
+
+    @property
+    def in_features(self) -> int:
+        return self.kqt.k
+
+    @property
+    def out_features(self) -> int:
+        return self.kqt.n
+
+    def __call__(self, x):
+        from ..ops.fused_matmul import quant_matmul_pallas_a8_lora
+
+        out = quant_matmul_pallas_a8_lora(x, self.kqt, self.a, self.b)
+        if self.bias is not None:
+            out = out + self.bias.astype(out.dtype)
+        return out
+
+
+def patch_lora_to_w4a8(lora) -> "A8LoRAQuantLinear | Any":
+    """LoRALinear(QuantLinear base) -> fused w4a8+LoRA module; returns the
+    input unchanged when the base isn't kernel-eligible."""
+    from ..nn.linear import QuantLinear
+    from ..ops.fused_matmul import supports_kernel_layout, to_kernel_layout
+
+    base = lora.base
+    if not (isinstance(base, QuantLinear) and supports_kernel_layout(base.qweight)):
+        return lora
+    bias = base.bias
+    if lora.bias is not None:
+        bias = lora.bias if bias is None else bias + lora.bias
+    return A8LoRAQuantLinear(
+        kqt=to_kernel_layout(base.qweight, pad_k_groups=_a8_pad_k_groups(base.qweight)),
         a=lora.lora_a,
         b=lora.lora_b * lora.scaling,
         bias=bias,

@@ -97,9 +97,14 @@ def stack_adapters(params_list: List[Any], base_params: Any, scaling: float = 1.
     tree with `MultiLoRALinear` leaves; adapter i in the stack corresponds to
     params_list[i]. Leaves that are not LoRA-wrapped are taken from
     base_params unchanged.
+
+    `base_params` may be backend-prepared (`prepare_for_inference` having
+    converted leaves to PallasQuantLinear / A8QuantLinear): the stack wraps
+    whatever leaf sits at each adapter's path, so multi-LoRA serving composes
+    with the fast decode kernels.
     """
     from ..core.peft import LoRALinear
-    from ..models.base import _walk, patch_linears
+    from ..models.base import _walk
 
     # index the adapters by path (LoRALinear leaves)
     adapter_maps = []
@@ -124,4 +129,4 @@ def stack_adapters(params_list: List[Any], base_params: Any, scaling: float = 1.
             base=layer, a_stack=a_stack, b_stack=b_stack, scaling=scaling
         )
 
-    return patch_linears(base_params, convert)
+    return _walk(base_params, "", convert)

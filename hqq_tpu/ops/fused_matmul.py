@@ -44,9 +44,13 @@ from ..core.quantize import QTensor, resolve_meta, unpack_codes
 
 __all__ = [
     "KernelQTensor",
+    "KernelQTensor0",
     "to_kernel_layout",
+    "to_kernel_layout_ax0",
+    "supports_kernel_layout_ax0",
     "quant_matmul_pallas",
     "quant_matmul_pallas_a8",
+    "quant_matmul_pallas_a8_lora",
     "quant_matmul_pallas_lora",
     "quantize_activations_int8",
     "dequant_pallas",
@@ -79,6 +83,10 @@ class KernelQTensor:
     group_size: int = struct.field(pytree_node=False, default=64)
     shape: tuple = struct.field(pytree_node=False, default=())  # (K, N) logical
     compute_dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
+    # True inside shard_map TP: the arrays are shard-LOCAL (unpadded — see
+    # parallel.tp._kernel_tp_ok) while `shape` still records the global dims.
+    # Set explicitly by the TP prep path; never inferred from array shapes.
+    is_sharded: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def k(self) -> int:
@@ -183,19 +191,17 @@ def to_kernel_layout(
 
 
 def _logical_dims(kqt: KernelQTensor) -> tuple:
-    """(K_logical, N_logical) for the arrays at hand: the struct's global
-    dims when the arrays carry the full (storage-padded) tensors, the local
-    array dims when they are shard-local inside shard_map (the static struct
-    metadata then still holds the global shape)."""
-    g = kqt.group_size
-    k_arr = kqt.wq.shape[0] * kqt.r
-    n_arr = kqt.wq.shape[1]
-    if kqt.k > 8 * g:
-        k_stores = (_round_up(kqt.k, 8 * g), _round_up(kqt.k, 32 * g))
-    else:
-        k_stores = (kqt.k,)
-    is_global = k_arr in k_stores and n_arr == _round_up(kqt.n, 128)
-    return (kqt.k if is_global else k_arr, kqt.n if is_global else n_arr)
+    """(K_logical, N_logical) for the arrays at hand.
+
+    Global layouts may carry storage padding (K to 8/32 groups, N to 128
+    lanes) beyond the logical `shape`; shard-local arrays inside shard_map
+    are exact (TP prep rejects padded layouts, `parallel.tp._kernel_tp_ok`)
+    but their dims are a 1/tp slice of the global `shape`. The `is_sharded`
+    flag set by the TP prep path decides explicitly — a shard whose local
+    dims happen to coincide with a padded global size is NOT misread."""
+    if kqt.is_sharded:
+        return (kqt.wq.shape[0] * kqt.r, kqt.wq.shape[1])
+    return (kqt.k, kqt.n)
 
 
 # ---------------------------------------------------------------------------
@@ -332,12 +338,14 @@ def _auto_interpret() -> bool:
 
 
 def quant_matmul_pallas(
-    x: Array, kqt: KernelQTensor, interpret: Optional[bool] = None
+    x: Array, kqt: "KernelQTensor | KernelQTensor0", interpret: Optional[bool] = None
 ) -> Array:
-    """`x @ W_dq` for a kernel-layout quantized weight.
+    """`x @ W_dq` for a kernel-layout quantized weight (either axis).
 
     x: [..., K]  ->  [..., N] in x's dtype (accumulation in fp32).
     """
+    if isinstance(kqt, KernelQTensor0):
+        return _quant_matmul_pallas_ax0(x, kqt, interpret)
     if interpret is None:
         interpret = _auto_interpret()
     # Derive dims from the arrays, not the static metadata: inside shard_map
@@ -653,6 +661,12 @@ def quant_matmul_pallas_a8(
     dynamically int8-quantized per token (≙ the int8 backend's activation
     path, `backends/int8_backend.py`). Routes to the class-replicated decode
     kernel for M <= 32, the batched per-group variant otherwise."""
+    if isinstance(kqt, KernelQTensor0):
+        # axis=0 scales vary along the contraction dim per output row, so
+        # they cannot factor out of an int8 dot — the fused bf16-operand
+        # kernel is the fast axis=0 path (MXU bf16-feed floor, ~26× faster
+        # than XLA dequant-then-matmul at decode M).
+        return _quant_matmul_pallas_ax0(x, kqt, interpret)
     if interpret is None:
         interpret = _auto_interpret()
     if kqt.nbits == 8:
@@ -733,8 +747,12 @@ def _dq_call(wq, scale, zs, *, container_bits, group_size, k, n, interpret=False
     return out[:, :n]
 
 
-def dequant_pallas(kqt: KernelQTensor, interpret: Optional[bool] = None) -> Array:
+def dequant_pallas(
+    kqt: "KernelQTensor | KernelQTensor0", interpret: Optional[bool] = None
+) -> Array:
     """Dequantize a kernel-layout weight to W^T [K, N] via a Pallas kernel."""
+    if isinstance(kqt, KernelQTensor0):
+        return _dequant_pallas_ax0(kqt, interpret)
     if interpret is None:
         interpret = _auto_interpret()
     k_arr = kqt.wq.shape[0] * kqt.r
@@ -750,6 +768,290 @@ def dequant_pallas(kqt: KernelQTensor, interpret: Optional[bool] = None) -> Arra
         interpret=interpret,
     )
     return out[:k_logical]
+
+
+# ---------------------------------------------------------------------------
+# Axis=0 kernel path — the quality-mode grouping the reference's ENTIRE native
+# layer serves (`/root/reference/hqq/kernels/hqq_aten_cuda_kernel.cu:110-122`;
+# `hqq_aten_cuda.cpp:42` asserts axis==0). BASELINE config 3 names 2/3-bit
+# axis=0 explicitly; without this, axis=0 decode pays XLA's
+# dequantize-then-matmul (~26× the fused kernel's time at decode M).
+#
+# Layout (SURVEY §7's "handle axis duality via layout transposition at pack
+# time", realized): the reference's axis=0 grouping of W [N, K] is STRIDED —
+# `W.reshape(g, -1)` puts the g members of group (b, k) at rows
+# {b, b+P, b+2P, ...} of column k (P = N/g). A pack-time row PERMUTATION
+# p = b·g + a  (for n = a·P + b) makes every group a contiguous run of g
+# rows, so scale/zero become [P, K] indexed by (row-block, column):
+#
+#     W'[p, k] = codes'[p, k] · scale[p//g, k] − zs[p//g, k]
+#
+# The kernel keeps W' row-major [N, K] (NOT transposed like the axis=1
+# layout): the group axis lands on SUBLANES, where Mosaic supports the 3-D
+# broadcast dequant (lane-dim expansion crashes Mosaic — probed). The matmul
+# computes y'^T = W'_dq @ x^T with the weight as the streamed lhs, and the
+# caller un-permutes with a pure reshape/transpose (no gather):
+#     y[m, a·P + b] = y'[m, b·g + a].
+#
+# Packing reuses the per-group chunk-split scheme along N, so any N-tile that
+# is a multiple of g unpacks locally — `_unpack_tile` and the dequant
+# broadcast are shared with the axis=1 kernel verbatim.
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class KernelQTensor0:
+    """Axis=0 kernel layout (see section comment).
+
+    Arrays (N padded to a multiple of 8·g with whole zero groups appended in
+    permuted space; K padded to a multiple of 128 lanes):
+      wq:    uint8 [N_pad // r, K_pad]  per-group chunk-split packed codes of
+                                        the row-PERMUTED weight W' [N, K]
+      scale: [N_pad // g, K_pad]        dequant scale (multiplicative)
+      zs:    [N_pad // g, K_pad]        zero · scale
+    """
+
+    wq: Array
+    scale: Array
+    zs: Array
+
+    nbits: float = struct.field(pytree_node=False, default=4)
+    container_bits: int = struct.field(pytree_node=False, default=4)
+    group_size: int = struct.field(pytree_node=False, default=64)
+    shape: tuple = struct.field(pytree_node=False, default=())  # (N, K) logical
+    compute_dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
+
+    @property
+    def k(self) -> int:  # in_features
+        return self.shape[1]
+
+    @property
+    def n(self) -> int:  # out_features
+        return self.shape[0]
+
+    @property
+    def r(self) -> int:
+        return 8 // self.container_bits
+
+
+def supports_kernel_layout_ax0(qt: QTensor) -> bool:
+    """Whether an axis=0 QTensor can convert to the fused-kernel layout.
+
+    Needs g | N (so the strided groups permute to contiguous row blocks —
+    holds for every practical (dim, group) combination; odd cases fall back
+    to the XLA path, the same graceful degradation the reference's backends
+    apply to unsupported configs)."""
+    if qt.axis != 0 or not qt.channel_wise or qt.group_size is None:
+        return False
+    g = qt.group_size
+    n_out, _ = qt.shape
+    cb = _KERNEL_CONTAINER_BITS[qt.nbits]
+    r = 8 // cb
+    return n_out % g == 0 and g % r == 0 and g % 8 == 0
+
+
+def to_kernel_layout_ax0(qt: QTensor, meta_dtype=jnp.float32) -> KernelQTensor0:
+    """Convert a canonical group-space axis=0 `QTensor` to kernel layout.
+
+    One-time, jit-free — the same role `to_kernel_layout` plays for axis=1
+    (≙ the reference backends' repack at prepare_for_inference time)."""
+    assert supports_kernel_layout_ax0(qt), (
+        "axis=0 kernel layout requires g | out_features and g % 8 == 0"
+    )
+    qt = resolve_meta(qt)
+    n_out, k = qt.shape
+    g = qt.group_size
+    cb = _KERNEL_CONTAINER_BITS[qt.nbits]
+    p_blocks = n_out // g
+
+    codes = unpack_codes(qt, jnp.int32)  # [g, P*K] group space
+    # permute rows: codes'[b·g + a, k] = codes[a, b·K + k]
+    codes_nk = codes.reshape(g, p_blocks, k).transpose(1, 0, 2).reshape(n_out, k)
+    scale_pk = qt.scale.reshape(p_blocks, k).astype(jnp.float32)
+    zero_pk = qt.zero.reshape(p_blocks, k).astype(jnp.float32)
+
+    # pad N with whole zero groups (IN permuted space — the un-permute slices
+    # them off as trailing b-blocks) and K to the 128-lane rule
+    n_pad = _round_up(n_out, 8 * g)
+    if n_pad != n_out:
+        codes_nk = jnp.pad(codes_nk, ((0, n_pad - n_out), (0, 0)))
+        scale_pk = jnp.pad(scale_pk, ((0, (n_pad - n_out) // g), (0, 0)))
+        zero_pk = jnp.pad(zero_pk, ((0, (n_pad - n_out) // g), (0, 0)))
+    k_pad = _round_up(k, 128)
+    if k_pad != k:
+        codes_nk = jnp.pad(codes_nk, ((0, 0), (0, k_pad - k)))
+        scale_pk = jnp.pad(scale_pk, ((0, 0), (0, k_pad - k)))
+        zero_pk = jnp.pad(zero_pk, ((0, 0), (0, k_pad - k)))
+
+    wq = _pack_kernel_layout(codes_nk, g, cb)  # groups run along dim 0
+    return KernelQTensor0(
+        wq=wq,
+        scale=scale_pk.astype(meta_dtype),
+        zs=(zero_pk * scale_pk).astype(meta_dtype),
+        nbits=qt.nbits,
+        container_bits=cb,
+        group_size=g,
+        shape=(n_out, k),
+        compute_dtype=qt.compute_dtype,
+    )
+
+
+def _qmm_ax0_kernel(xt_ref, wq_ref, scale_ref, zs_ref, out_ref, acc_ref, *, g, cb, out_dtype):
+    """One (TN, TM) output tile of y'^T = W'_dq @ x^T, accumulating over the
+    K grid dimension. Identical dequant structure to `_qmm_kernel` — the
+    group axis is just on sublanes instead of the contraction dim."""
+    kidx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kidx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    tk = wq_ref.shape[-1]
+    c3 = _unpack_tile(wq_ref[:], g, cb, tk)  # [TN//g, g, TK]
+    compute_dtype = scale_ref.dtype
+    w3 = c3.astype(compute_dtype) * scale_ref[:][:, None, :] - zs_ref[:][:, None, :]
+    w = w3.reshape(c3.shape[0] * g, tk)  # [TN, TK]
+
+    acc_ref[:] += jax.lax.dot_general(
+        w.astype(xt_ref.dtype),
+        xt_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kidx == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _pick_tile_ax0(dim: int, unit: int, target: int) -> int:
+    """Largest multiple of `unit` dividing `dim`, capped near `target`;
+    whole-dim fallback."""
+    best = None
+    t = unit
+    while t <= min(dim, target):
+        if dim % t == 0:
+            best = t
+        t += unit
+    return best if best is not None else dim
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("container_bits", "group_size", "n_pad", "k_pad", "interpret"),
+)
+def _qmm_ax0_call(
+    xt: Array,  # [K_pad, M_pad]
+    wq: Array,
+    scale: Array,
+    zs: Array,
+    *,
+    container_bits: int,
+    group_size: int,
+    n_pad: int,
+    k_pad: int,
+    interpret: bool = False,
+) -> Array:
+    g, cb = group_size, container_bits
+    r = 8 // cb
+    m_pad = xt.shape[1]
+
+    tn = _pick_tile_ax0(n_pad, 8 * g, 2048)
+    tk = _pick_tile_ax0(k_pad, 128, 1024)
+    tm = m_pad  # whole-lane output block (decode M is small; prefill fits)
+
+    grid = (n_pad // tn, 1, k_pad // tk)
+    out = pl.pallas_call(
+        functools.partial(_qmm_ax0_kernel, g=g, cb=cb, out_dtype=xt.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tk, tm), lambda i, j, kk: (kk, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn // r, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn // g, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn // g, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, tm), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), xt.dtype),
+        scratch_shapes=[pltpu.VMEM((tn, tm), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n_pad * k_pad,
+            bytes_accessed=(
+                m_pad * k_pad * xt.dtype.itemsize
+                + wq.size
+                + scale.size * scale.dtype.itemsize * 2
+                + m_pad * n_pad * xt.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xt, wq, scale, zs)
+    return out
+
+
+def _unpermute_ax0(y_perm: Array, n_out: int, g: int) -> Array:
+    """[..., N_pad] permuted-space outputs -> [..., N] logical order:
+    y[..., a·P + b] = y'[..., b·g + a]. Pure reshape/transpose — no gather."""
+    p_blocks = n_out // g
+    lead = y_perm.shape[:-1]
+    y3 = y_perm.reshape(*lead, y_perm.shape[-1] // g, g)[..., :p_blocks, :]
+    return jnp.swapaxes(y3, -1, -2).reshape(*lead, n_out)
+
+
+def _quant_matmul_pallas_ax0(
+    x: Array, kqt: KernelQTensor0, interpret: Optional[bool] = None
+) -> Array:
+    if interpret is None:
+        interpret = _auto_interpret()
+    n_out, k = kqt.shape
+    g = kqt.group_size
+    n_pad = kqt.wq.shape[0] * kqt.r
+    k_pad = kqt.wq.shape[1]
+
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    if k_pad != k:
+        x2 = jnp.pad(x2, ((0, 0), (0, k_pad - k)))
+    m_pad = _round_up(m, 8)
+    xt = jnp.zeros((k_pad, m_pad), x2.dtype).at[:, :m].set(x2.T)
+
+    out_t = _qmm_ax0_call(
+        xt,
+        kqt.wq,
+        kqt.scale,
+        kqt.zs,
+        container_bits=kqt.container_bits,
+        group_size=g,
+        n_pad=n_pad,
+        k_pad=k_pad,
+        interpret=interpret,
+    )  # [N_pad, M_pad]
+    y = _unpermute_ax0(out_t.T[:m], n_out, g)
+    return y.reshape(*lead, n_out)
+
+
+def _dequant_pallas_ax0(kqt: KernelQTensor0, interpret: Optional[bool] = None) -> Array:
+    """Dequantize an axis=0 kernel-layout weight to W^T [K, N] (matching
+    `dequant_pallas`'s convention so callers are layout-agnostic)."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    n_out, k = kqt.shape
+    n_pad = kqt.wq.shape[0] * kqt.r
+    # reuse the axis=1 dequant kernel: its row-grouped unpack/affine is
+    # exactly this layout's (groups along dim 0 of a [rows, lanes] matrix)
+    w_perm = _dq_call(
+        kqt.wq,
+        kqt.scale,
+        kqt.zs,
+        container_bits=kqt.container_bits,
+        group_size=kqt.group_size,
+        k=n_pad,
+        n=kqt.wq.shape[1],
+        interpret=interpret,
+    )[:, :k]  # [N_pad, K] permuted rows
+    w = _unpermute_ax0(w_perm.T, n_out, kqt.group_size)  # [K, N]
+    return w
 
 
 # ---------------------------------------------------------------------------
@@ -846,6 +1148,173 @@ def _qmm_lora_call(
         interpret=interpret,
     )(x, wq, scale, zs, a, b)
     return out[:m, :n]
+
+
+def _qmm_a8_lora_decode_kernel(
+    xp_ref, wq_ref, scale_ref, zs_ref, xa_ref, b_ref, out_ref, acc_ref,
+    *, g, cb, s, meff
+):
+    """Class-replicated a8 decode kernel + LoRA epilogue (BASELINE config 4:
+    adapters fused into the fast dequant-matmul). The rank-r partial
+    xa = (x @ A) / sx is precomputed at FULL precision outside (the adapter
+    must not see the int8 activation rounding); the final K step adds
+    xa @ B_tile to the accumulator — the caller's `· sx` then restores
+    base·sx + (x@A)@B exactly."""
+    kidx = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(kidx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    tn = wq_ref.shape[-1]
+    c8 = _unpack_tile_2d(wq_ref[:], cb)
+    part = jax.lax.dot_general(
+        xp_ref[:], c8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    xsum = jnp.sum(xp_ref[:].astype(jnp.float32), axis=1, keepdims=True)
+    if meff == 1:
+        contrib = part.astype(jnp.float32) * scale_ref[:] - xsum * zs_ref[:]
+        acc_ref[:] += jnp.sum(contrib.reshape(8, s // 8, tn), axis=1)
+    else:
+        part4 = part.reshape(meff, s, tn).astype(jnp.float32)
+        contrib = part4 * scale_ref[:][None] - xsum.reshape(meff, s, 1) * zs_ref[:][None]
+        acc_ref[:] += jnp.sum(contrib, axis=1)
+
+    @pl.when(kidx == nk - 1)
+    def _():
+        lora = jax.lax.dot_general(
+            xa_ref[:], b_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [acc_rows, TN]; rows past M are zero (xa zero-padded)
+        out_ref[:] = acc_ref[:] + lora
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("container_bits", "group_size", "k", "n", "s", "meff", "interpret"),
+)
+def _qmm_a8_lora_decode_call(
+    x8: Array,
+    wq: Array,
+    scale: Array,
+    zs: Array,
+    xa: Array,  # [M, r_pad] fp32, pre-divided by sx
+    b: Array,  # [r_pad, N_pad] fp32 (scaling folded)
+    *,
+    container_bits: int,
+    group_size: int,
+    k: int,
+    n: int,
+    s: int,
+    meff: int,
+    interpret: bool = False,
+) -> Array:
+    g, cb = group_size, container_bits
+    r = 8 // cb
+    m = x8.shape[0]
+    n_pad = wq.shape[1]
+    tk = s * g
+    nt = k // tk
+    if m != meff:
+        x8 = jnp.pad(x8, ((0, meff - m), (0, 0)))
+
+    # identical block-diagonal class-replicated lhs as _qmm_a8_decode_call
+    xg = x8.reshape(meff, nt, s, r, g // r).transpose(1, 0, 3, 2, 4)
+    eye = jnp.eye(s, dtype=jnp.int8)
+    xp = xg[:, None] * eye[None, :, None, None, :, None]
+    xp = xp.transpose(2, 1, 0, 3, 4, 5).reshape(meff * s, k)
+
+    acc_rows = 8 if meff == 1 else meff
+    r_pad = b.shape[0]
+    xa_p = jnp.zeros((acc_rows, r_pad), jnp.float32).at[: xa.shape[0]].set(xa)
+
+    tn = _pick_tile_n(n_pad, 2048 if meff == 1 else 1024)
+    grid = (n_pad // tn, nt)
+    out = pl.pallas_call(
+        functools.partial(_qmm_a8_lora_decode_kernel, g=g, cb=cb, s=s, meff=meff),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((meff * s, tk), lambda j, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // r, tn), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, tn), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, tn), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((acc_rows, r_pad), lambda j, kk: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_pad, tn), lambda j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((acc_rows, tn), lambda j, kk: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((acc_rows, n_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((acc_rows, tn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * meff * s * n_pad * k + 2 * acc_rows * r_pad * n_pad,
+            bytes_accessed=meff * s * k + wq.size + scale.size * 8
+            + r_pad * n_pad * 4 + acc_rows * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, wq, scale, zs, xa_p, b)
+    if meff == 1:
+        return jnp.sum(out, axis=0, keepdims=True)[:, :n]
+    return out[:m, :n]
+
+
+def quant_matmul_pallas_a8_lora(
+    x: Array, kqt: KernelQTensor, a: Array, b: Array,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """`x @ W_dq + (x @ a) @ b` with the base on the int8-operand decode path
+    (w4a8) and the adapter fused into the SAME kernel (BASELINE config 4 on
+    the 115-tok/s path; ≙ reference gemlite + merged adapters,
+    `/root/reference/hqq/utils/patching.py:193-257`).
+
+    a: [K, r], b: [r, N] with scaling folded into b. The adapter dot runs at
+    full activation precision (xa is computed before int8 rounding); the
+    weight-side base is exact, so only the base's activation quantization
+    approximates. Falls back to the fused bf16-operand LoRA kernel for
+    prefill M or non-class-replicable K."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    g = kqt.group_size
+    k_arr = kqt.wq.shape[0] * kqt.r
+    n_arr = kqt.wq.shape[1]
+    k_logical, n = _logical_dims(kqt)
+
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, k_logical)
+    m = x2.shape[0]
+    if m > 32 or kqt.nbits == 8 or k_arr % (8 * g) != 0:
+        return quant_matmul_pallas_lora(x, kqt, a, b, interpret=interpret)
+
+    x8, sx = quantize_activations_int8(x2)
+    # full-precision rank-r partial, pre-divided by the activation scale so
+    # the caller's single `· sx` restores base·sx + (x@A)@B
+    xa = (x2.astype(jnp.float32) @ a.astype(jnp.float32)) / sx
+    if k_arr != k_logical:
+        x8 = jnp.pad(x8, ((0, 0), (0, k_arr - k_logical)))
+    r_pad = _round_up(a.shape[1], 128)
+    b_p = jnp.zeros((r_pad, n_arr), jnp.float32).at[: b.shape[0], : b.shape[1]].set(
+        b.astype(jnp.float32)
+    )
+    xa_p = jnp.zeros((m, r_pad), jnp.float32).at[:, : a.shape[1]].set(xa)
+
+    common = dict(
+        container_bits=kqt.container_bits, group_size=g,
+        k=k_arr, n=n, interpret=interpret,
+    )
+    if m == 1 and k_arr % (32 * g) == 0:
+        out = _qmm_a8_lora_decode_call(
+            x8, kqt.wq, kqt.scale, kqt.zs, xa_p, b_p, s=32, meff=1, **common
+        )
+    else:
+        out = _qmm_a8_lora_decode_call(
+            x8, kqt.wq, kqt.scale, kqt.zs, xa_p, b_p, s=8,
+            meff=_round_up(m, 8), **common
+        )
+    out = (out * sx).astype(x.dtype)
+    return out.reshape(*lead, n)
 
 
 def quant_matmul_pallas_lora(

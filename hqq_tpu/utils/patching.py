@@ -18,9 +18,11 @@ on TPU to:
                reference's experimental int8 path done as a prepared module;
                stores 8-bit weights — 2× the HBM bytes of w4a8)
 
-Axis=0 quantized layers have no fused kernel (same restriction as every
-reference fused backend) — serve them through "int8" (the one-time requant
-accepts any layout) or "xla".
+Axis=0 quantized layers fuse through the permuted-layout axis=0 kernel
+(`ops.fused_matmul.KernelQTensor0`) under both "pallas" and "w4a8" — the
+reference's native layer serves ONLY axis=0 (`hqq_aten_cuda.cpp:42`); here
+both axes have fused kernels. "int8" (one-time requant) also accepts any
+layout.
 
 LoRA-wrapped layers convert their base in place (≙ ref `:26-50`).
 Also provides `patch_merge_zeros_with_lora` math helpers' analogue:
@@ -68,9 +70,9 @@ def prepare_for_inference(params: Any, backend="pallas", verbose: bool = False) 
             stats["converted" if out is not node else "kept"] += 1
             return out
         if b == "w4a8":
-            from ..backends.pallas_backend import patch_quantlinear_to_w4a8
+            from ..backends.pallas_backend import _patch_w4a8_any_axis
 
-            out = patch_quantlinear_to_w4a8(node)
+            out = _patch_w4a8_any_axis(node)
             stats["converted" if out is not node else "kept"] += 1
             return out
         if b == "int8":
@@ -85,12 +87,15 @@ def prepare_for_inference(params: Any, backend="pallas", verbose: bool = False) 
         if isinstance(node, list):
             return [convert(v, f"{path}.{i}" if path else str(i)) for i, v in enumerate(node)]
         if isinstance(node, LoRALinear):
-            if (per_tag and backend.get(name_to_linear_tag(path)) == "pallas") or (
-                not per_tag and backend == "pallas"
-            ):
-                from ..backends.pallas_backend import patch_lora_to_pallas
+            b = backend.get(name_to_linear_tag(path)) if per_tag else backend
+            if b in ("pallas", "w4a8"):
+                from ..backends.pallas_backend import (
+                    patch_lora_to_pallas,
+                    patch_lora_to_w4a8,
+                )
 
-                fused = patch_lora_to_pallas(node)
+                fused = (patch_lora_to_pallas if b == "pallas"
+                         else patch_lora_to_w4a8)(node)
                 if fused is not node:
                     stats["converted"] += 1
                     return fused

@@ -1,0 +1,149 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Axis=0 fused kernel path (VERDICT r2 item 1).
+
+The reference's native layer dequantizes ONLY axis=0 groupings
+(`/root/reference/hqq/kernels/hqq_aten_cuda_kernel.cu:110-122`;
+`hqq_aten_cuda.cpp:42` asserts axis==0) — HQQ's quality-mode config for low
+bits, and BASELINE config 3 ("Llama-2-7B 3-bit/2-bit axis=0"). These tests
+pin the permuted-layout kernel (`KernelQTensor0`) to the canonical XLA
+dequant semantics: the pack-time row permutation + kernel affine must
+reproduce `x @ dequantize(qt).T` exactly (same f32 arithmetic, reassociated),
+across containers, paddings, and both backend entry points."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hqq_tpu.core.quantize import BaseQuantizeConfig, dequantize, quantize
+from hqq_tpu.nn.linear import QuantLinear
+from hqq_tpu.ops.fused_matmul import (
+    dequant_pallas,
+    quant_matmul_pallas,
+    quant_matmul_pallas_a8,
+    supports_kernel_layout_ax0,
+    to_kernel_layout_ax0,
+)
+from hqq_tpu.utils.patching import prepare_for_inference
+
+
+def _make(n_out, k, g, nbits, seed=0):
+    key = jax.random.PRNGKey(seed)
+    w = jax.random.normal(key, (n_out, k), jnp.float32) / np.sqrt(k)
+    qt = quantize(
+        w, nbits=nbits, group_size=g, axis=0, round_zero=(nbits == 4),
+        compute_dtype=jnp.float32,
+    )
+    return w, qt
+
+
+@pytest.mark.parametrize(
+    "m,n_out,k,g,nbits",
+    [
+        (1, 256, 512, 64, 4),      # decode M=1
+        (8, 256, 512, 64, 4),      # decode batch
+        (1, 256, 512, 16, 2),      # 2-bit quality-mode grouping
+        (1, 256, 512, 32, 3),      # 3-bit (4-bit container widening)
+        (1, 256, 512, 64, 8),      # 8-bit container
+        (1, 256, 512, 8, 1),       # 1-bit container
+        (40, 256, 512, 64, 2),     # prefill-sized M
+        (1, 320, 512, 16, 2),      # N=320 pads to 8g=128 multiple (384)
+        (1, 256, 200, 8, 4),       # K=200 pads to 256 lanes
+        (5, 192, 320, 16, 3),      # both paddings + odd M
+    ],
+)
+def test_ax0_kernel_matches_xla_dequant(m, n_out, k, g, nbits):
+    w, qt = _make(n_out, k, g, nbits)
+    assert supports_kernel_layout_ax0(qt)
+    kqt = to_kernel_layout_ax0(qt)
+    x = jax.random.normal(jax.random.PRNGKey(1), (m, k), jnp.float32)
+    expected = np.asarray(x) @ np.asarray(dequantize(qt, jnp.float32)).T
+    got = np.asarray(quant_matmul_pallas(x, kqt), np.float32)
+    rel = np.abs(got - expected).max() / max(np.abs(expected).max(), 1e-30)
+    assert rel < 2e-5, f"axis=0 kernel mismatch: rel={rel}"
+
+
+def test_ax0_a8_entry_routes_to_fused_kernel():
+    """The w4a8 entry point serves axis=0 through the fused bf16-operand
+    kernel (scales vary along K per row — int8-dot factoring doesn't apply);
+    activations stay full-precision, so output matches dequant-matmul."""
+    w, qt = _make(256, 512, 16, 2)
+    kqt = to_kernel_layout_ax0(qt)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 512), jnp.float32)
+    expected = np.asarray(x) @ np.asarray(dequantize(qt, jnp.float32)).T
+    got = np.asarray(quant_matmul_pallas_a8(x, kqt), np.float32)
+    rel = np.abs(got - expected).max() / np.abs(expected).max()
+    assert rel < 2e-5, rel
+
+
+def test_ax0_dequant_pallas_roundtrip():
+    w, qt = _make(192, 256, 16, 2)
+    kqt = to_kernel_layout_ax0(qt)
+    w_t = np.asarray(dequant_pallas(kqt, interpret=True), np.float32)  # [K, N]
+    expected = np.asarray(dequantize(qt, jnp.float32))
+    np.testing.assert_allclose(w_t.T, expected, rtol=0, atol=2e-6)
+
+
+def test_ax0_group_not_dividing_n_falls_back():
+    """g ∤ N (valid for the quantizer when g | N·K) must NOT convert — the
+    XLA path serves it (graceful fallback, ≙ reference backend constraints)."""
+    w = jax.random.normal(jax.random.PRNGKey(0), (40, 64), jnp.float32)
+    qt = quantize(w, nbits=4, group_size=256, axis=0, compute_dtype=jnp.float32)
+    assert not supports_kernel_layout_ax0(qt)
+    layer = QuantLinear(qweight=qt)
+    out = prepare_for_inference({"x_proj": layer}, "pallas")["x_proj"]
+    assert isinstance(out, QuantLinear)  # unchanged
+
+
+@pytest.mark.parametrize("backend", ["pallas", "w4a8"])
+def test_ax0_prepare_for_inference(backend):
+    """End-to-end: axis=0 quantized layer converts under both fused backends
+    and its forward/dequantize match the canonical QuantLinear (xla) path."""
+    w = jax.random.normal(jax.random.PRNGKey(3), (320, 512), jnp.float32) / 20
+    cfg = BaseQuantizeConfig(nbits=2, group_size=16, axis=0,
+                             compute_dtype=jnp.float32)
+    layer = QuantLinear.quantize(w, quant_config=cfg)
+    tree = prepare_for_inference({"up_proj": layer}, backend)
+    fused = tree["up_proj"]
+    assert not isinstance(fused, QuantLinear), "axis=0 must convert"
+    assert fused.in_features == 512 and fused.out_features == 320
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 512), jnp.float32)
+    ref = np.asarray(layer(x), np.float32)
+    got = np.asarray(fused(x), np.float32)
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 2e-5, rel
+
+    np.testing.assert_allclose(
+        np.asarray(fused.dequantize(jnp.float32)),
+        np.asarray(layer.dequantize(jnp.float32)),
+        rtol=0, atol=2e-6,
+    )
+
+
+def test_ax0_matches_reference_grouping_semantics():
+    """The permutation must reproduce the reference's STRIDED axis=0 group
+    membership (`W.reshape(g, -1)`): rebuild dequant by hand from group-space
+    scale/zero and compare against the kernel path."""
+    n_out, k, g = 64, 96, 8
+    w, qt = _make(n_out, k, g, 4, seed=7)
+    # hand dequant: group of element (n, k) is column (n % (N/g))*K + k
+    from hqq_tpu.core.quantize import unpack_codes
+
+    codes = np.asarray(unpack_codes(qt, jnp.int32))  # [g, P*K]
+    scale = np.asarray(qt.scale).reshape(-1)  # [P*K]
+    zero = np.asarray(qt.zero).reshape(-1)
+    p_blocks = n_out // g
+    w_manual = np.zeros((n_out, k), np.float32)
+    for n in range(n_out):
+        a, b = divmod(n, p_blocks)
+        for kk in range(k):
+            c = b * k + kk
+            w_manual[n, kk] = (codes[a, c] - zero[c]) * scale[c]
+    np.testing.assert_allclose(
+        w_manual, np.asarray(dequantize(qt, jnp.float32)), rtol=0, atol=1e-6
+    )
+    kqt = to_kernel_layout_ax0(qt)
+    x = jnp.eye(k, dtype=jnp.float32)
+    got = np.asarray(quant_matmul_pallas(x, kqt), np.float32).T  # W
+    np.testing.assert_allclose(got, w_manual, rtol=0, atol=1e-5)

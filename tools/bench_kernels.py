@@ -19,6 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from hqq_tpu.core.quantize import quantize
+from hqq_tpu.utils.profiling import enable_compile_cache
+
+enable_compile_cache()
 from hqq_tpu.ops.fused_matmul import (
     to_kernel_layout,
     quant_matmul_pallas,
@@ -55,6 +58,95 @@ def time_scan(step, stacked, x0, iters=6, n1=2, n2=10):
         return best
 
     return (best_time(n2) - best_time(n1)) / ((n2 - n1) * L)
+
+
+def section_ax0():
+    """Axis=0 kernel timings (VERDICT r2 item 1): 7B-shape decode for the
+    quality-mode configs (2-bit g16 / 3-bit g64 axis=0, BASELINE config 3)
+    vs the 4-bit axis=1 kernel's floor and the XLA fallback."""
+    from hqq_tpu.ops.fused_matmul import to_kernel_layout_ax0
+
+    M, K, N, L = 8, 4096, 4096, 48
+    rng = np.random.default_rng(0)
+    w_np = rng.standard_normal((N, K), dtype=np.float32) / 20
+    x0 = jnp.asarray(rng.standard_normal((M, K), dtype=np.float32) / 10, jnp.bfloat16)
+    x1 = x0[:1]
+
+    for nbits, g in ((4, 64), (3, 64), (2, 16), (2, 64)):
+        qt = quantize(jnp.asarray(w_np), nbits=nbits, group_size=g, axis=0,
+                      compute_dtype=jnp.bfloat16)
+        kqt = to_kernel_layout_ax0(qt)
+        stacked = jax.tree_util.tree_map(lambda a: jnp.stack([a] * L), kqt)
+        bytes_q = kqt.wq.size + kqt.scale.size * 4 + kqt.zs.size * 4
+
+        def qmm_step(w, x):
+            y = quant_matmul_pallas(x, w)
+            return (x + y[:, :K] * 1e-6).astype(x.dtype)
+
+        for xm, tag in ((x0, f"M={M}"), (x1, "M=1")):
+            t = time_scan(qmm_step, stacked, xm)
+            print(f"ax0 pallas {nbits}b g{g} {tag}: {t*1e6:.1f} us, "
+                  f"bytes {bytes_q/1e6:.1f}MB, eff {bytes_q/HBM_BW/t*100:.0f}%")
+
+        stacked_qt = jax.tree_util.tree_map(lambda a: jnp.stack([a] * L), qt)
+
+        def xla_step(w, x):
+            y = dequant_matmul(x, w)
+            return (x + y[:, :K] * 1e-6).astype(x.dtype)
+
+        t = time_scan(xla_step, stacked_qt, x1)
+        print(f"  ax0 xla {nbits}b g{g} M=1: {t*1e6:.1f} us")
+
+
+def section_13b():
+    """13B-shape ceilings (VERDICT r2 item 2): measure the dense-int8 MXU
+    feed floor and w4a8 at 5120/13824 dims to prove (or close) the 49.3 tok/s
+    gap against the byte roofline."""
+    rng = np.random.default_rng(0)
+    for (N, K) in ((13824, 5120), (5120, 13824), (5120, 5120)):
+        L = max(6, int(48 * 4096 * 4096 / (N * K)))
+        w_np = rng.standard_normal((N, K), dtype=np.float32) / 20
+        x1 = jnp.asarray(rng.standard_normal((1, K), dtype=np.float32) / 10,
+                         jnp.bfloat16)
+
+        # dense int8 dot = the int8-operand feed ceiling at this shape
+        w8 = jnp.stack([jnp.asarray(np.round(w_np * 100).astype(np.int8))] * L)
+
+        def int8_step(w, x):
+            xf = x.astype(jnp.float32)
+            sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+            x8 = jnp.round(xf / jnp.maximum(sx, 1e-8)).astype(jnp.int8)
+            acc = jax.lax.dot_general(x8, w, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * sx
+            return (x + y[:, :K] * 1e-6).astype(x.dtype)
+
+        t8 = time_scan(int8_step, w8, x1)
+        bytes8 = N * K
+        print(f"13b-shape [{K}x{N}] dense-int8 M=1: {t8*1e6:.1f} us, "
+              f"{bytes8/t8/1e12:.2f} TB/s, eff {bytes8/HBM_BW/t8*100:.0f}%")
+        del w8
+
+        # w4a8 from true 4-bit storage (pad_k_groups chosen like the backend)
+        qt = quantize(jnp.asarray(w_np), nbits=4, group_size=64, axis=1,
+                      round_zero=True, compute_dtype=jnp.bfloat16)
+        g = 64
+        pad32 = -(-K // (32 * g)) * 32 * g
+        pad_groups = 32 if (pad32 - K) * 8 <= K else 8
+        kqt = to_kernel_layout(qt, pad_k_groups=pad_groups)
+        stacked = jax.tree_util.tree_map(lambda a: jnp.stack([a] * L), kqt)
+        bytes_q = kqt.wq.size + kqt.scale.size * 4 + kqt.zs.size * 4
+
+        def a8_step(w, x):
+            y = quant_matmul_pallas_a8(x, w)
+            return (x + y[:, :K] * 1e-6).astype(x.dtype)
+
+        t = time_scan(a8_step, stacked, x1)
+        print(f"  w4a8 4b g64 pad{pad_groups} M=1: {t*1e6:.1f} us, "
+              f"bytes {bytes_q/1e6:.1f}MB, {bytes_q/t/1e12:.2f} TB/s, "
+              f"eff {bytes_q/HBM_BW/t*100:.0f}%, vs-int8-ceiling "
+              f"{t8/t:.2f}x-time ({bytes_q/bytes8*100:.0f}% of its bytes)")
+        del stacked
 
 
 def main():
@@ -135,4 +227,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    which = sys.argv[1] if len(sys.argv) > 1 else "base"
+    if which == "ax0":
+        print(jax.devices())
+        section_ax0()
+    elif which == "13b":
+        print(jax.devices())
+        section_13b()
+    elif which == "all":
+        main()
+        section_ax0()
+        section_13b()
+    else:
+        main()
