@@ -41,6 +41,10 @@ class MixtralConfig(llama.LlamaConfig):
     num_local_experts: int = 8
     num_experts_per_tok: int = 2
     capacity_factor: float = 2.0  # >= E/top_k drops nothing
+    # Expert-parallel axis name when running inside shard_map with the expert
+    # stack sharded over a mesh axis (set by `parallel.tp.prepare_tp`); the
+    # MoE block then computes only its local experts and psums the combine.
+    ep_axis: Optional[str] = None
 
     @classmethod
     def from_hf(cls, hf: dict) -> "MixtralConfig":
@@ -113,13 +117,24 @@ def _moe_block(block: dict, cfg: MixtralConfig, x: Array) -> Array:
     capacity = max(capacity, 1)
 
     dispatch, combine = moe_dispatch(probs, k, capacity)  # [BT, E, C]
-    expert_in = jnp.einsum("tec,td->ecd", dispatch.astype(xf.dtype), xf)
 
     w1, w2, w3 = (block["experts"][n] for n in ("w1", "w2", "w3"))
+    # Expert parallelism (inside shard_map): the stacked weights are local
+    # [E/ep, ...]; route only the local experts' slots and psum the combine.
+    e_local = w1.n_experts
+    ep = cfg.ep_axis is not None and e_local != e
+    if ep:
+        off = jax.lax.axis_index(cfg.ep_axis) * e_local
+        dispatch = jax.lax.dynamic_slice_in_dim(dispatch, off, e_local, axis=1)
+        combine = jax.lax.dynamic_slice_in_dim(combine, off, e_local, axis=1)
+
+    expert_in = jnp.einsum("tec,td->ecd", dispatch.astype(xf.dtype), xf)
     h = jax.nn.silu(w1(expert_in)) * w3(expert_in)  # [E, C, F]
     expert_out = w2(h)  # [E, C, D]
 
     out = jnp.einsum("tec,ecd->td", combine.astype(jnp.float32), expert_out.astype(jnp.float32))
+    if ep:
+        out = jax.lax.psum(out, cfg.ep_axis)
     return out.reshape(b, t, d).astype(x.dtype)
 
 
@@ -134,8 +149,16 @@ def forward(
     cache: Optional[KVCache] = None,
     start_pos: int | Array = 0,
     kv_valid: Optional[Array] = None,
+    page_indices: Optional[Array] = None,
 ) -> Tuple[Array, Optional[KVCache]]:
-    """Same contract as `llama.forward`, with the MoE block as the MLP."""
+    """Same contract as `llama.forward` (incl. paged decode — the reference's
+    flagship MoE, `/root/reference/examples/models/mixtral_13GB_example.py`,
+    serves on the paged engine), with the MoE block as the MLP."""
+    from ..ops.paged import PagedKVCache
+
+    if isinstance(cache, PagedKVCache):
+        return _forward_paged(params, cfg, tokens, cache,
+                              jnp.asarray(start_pos), page_indices)
     b, t = tokens.shape
     x = jnp.take(params["embed_tokens"], tokens, axis=0)
 
@@ -170,6 +193,29 @@ def forward(
 
     new_cache = KVCache(k=k_all, v=v_all) if cache is not None else None
     return logits, new_cache
+
+
+def _forward_paged(params, cfg, tokens, cache, lengths, page_indices):
+    """Paged decode step (cache polymorphism; see llama._forward_paged)."""
+    toks = tokens if tokens.ndim == 2 else tokens[:, None]
+    x = jnp.take(params["embed_tokens"], toks, axis=0)
+    _, cos, sin, _ = llama.positions_and_masks(cfg, toks.shape[1], lengths, None)
+    for i, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        attn_out, cache = llama._attention_paged(
+            layer["self_attn"], cfg, h, cache, i, lengths, page_indices, cos, sin,
+            window=getattr(cfg, "sliding_window", None),
+        )
+        x = x + attn_out
+        h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+        x = x + _moe_block(layer["block_sparse_moe"], cfg, h)
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        logits = jnp.einsum("btd,vd->btv", x, params["embed_tokens"],
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = params["lm_head"](x).astype(jnp.float32)
+    return logits, cache
 
 
 def quantize_mixtral(

@@ -75,7 +75,12 @@ def test_paged_engine_matches_dense_engine(rng):
         assert out_d[uid] == out_p[uid], (uid, out_d[uid], out_p[uid])
 
 
-def test_paged_engine_quantized_kv_close_to_fp(rng):
+def test_paged_engine_quantized_kv_close_to_fp():
+    # own rng (NOT the session fixture): this is a statistical-tolerance test
+    # and must see the same prompts regardless of which tests ran before it
+    import numpy as np
+
+    rng = np.random.default_rng(42)
     cfg = LlamaConfig.tiny(vocab_size=512)
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
     qparams = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),

@@ -56,6 +56,14 @@ def _families():
         gemma3.forward,
     )
 
+    from hqq_tpu.models import mixtral
+
+    mxcfg = mixtral.MixtralConfig.tiny()
+    out["mixtral"] = (
+        mxcfg, mixtral.init_params(mxcfg, jax.random.PRNGKey(6), jnp.float32),
+        mixtral.forward,
+    )
+
     # qwen3-style: llama forward + per-head q/k RMSNorm params
     qcfg = llama.LlamaConfig.tiny()
     qparams = llama.init_params(qcfg, jax.random.PRNGKey(5), jnp.float32)
@@ -83,7 +91,10 @@ def _dense_greedy(fwd, params, cfg, prompt, n_new):
     return out
 
 
-@pytest.mark.parametrize("family", ["llama", "mistral", "granite", "gemma2", "gemma3", "qwen3"])
+@pytest.mark.parametrize(
+    "family",
+    ["llama", "mistral", "granite", "gemma2", "gemma3", "qwen3", "mixtral"],
+)
 def test_paged_engine_matches_dense(family):
     cfg, params, fwd = _families()[family]
     prompt = [3, 17, 29, 5, 11]
