@@ -49,6 +49,9 @@ class GptOssConfig(llama.LlamaConfig):
     swiglu_alpha: float = 1.702
     swiglu_limit: float = 7.0
     capacity_factor: float = 2.0
+    # Expert-parallel axis (see mixtral.MixtralConfig.ep_axis): set by
+    # `parallel.tp.prepare_tp` when expert stacks shard over the mesh.
+    ep_axis: Optional[str] = None
 
     def __post_init__(self):
         super().__post_init__()
@@ -145,19 +148,31 @@ def _moe_block(block: dict, cfg: GptOssConfig, x: Array) -> Array:
     e, k = cfg.num_local_experts, cfg.num_experts_per_tok
     capacity = max(int(-(-(b * t * k / e * cfg.capacity_factor) // 1)), 1)
     dispatch, combine = moe_dispatch(probs, k, capacity)
+
+    # Expert parallelism inside shard_map (see mixtral._moe_block); the
+    # gate_up/down bias arrays shard their leading E axis alongside the stacks
+    e_local = block["experts"]["gate_up_proj"].n_experts
+    ep = cfg.ep_axis is not None and e_local != e
+    if ep:
+        off = jax.lax.axis_index(cfg.ep_axis) * e_local
+        dispatch = jax.lax.dynamic_slice_in_dim(dispatch, off, e_local, axis=1)
+        combine = jax.lax.dynamic_slice_in_dim(combine, off, e_local, axis=1)
+
     expert_in = jnp.einsum("tec,td->ecd", dispatch.astype(xf.dtype), xf)
 
     gu = block["experts"]["gate_up_proj"](expert_in)  # [E, C, 2F]
     gu = (gu.astype(jnp.float32) + block["gate_up_bias"][:, None, :])
     gate, up = gu[..., 0::2], gu[..., 1::2]  # INTERLEAVED columns
     limit = cfg.swiglu_limit
-    gate = jnp.clip(gate, a_max=limit)
-    up = jnp.clip(up, a_min=-limit, a_max=limit)
+    gate = jnp.clip(gate, max=limit)
+    up = jnp.clip(up, min=-limit, max=limit)
     glu = gate * jax.nn.sigmoid(gate * cfg.swiglu_alpha)
     h = ((up + 1.0) * glu).astype(xf.dtype)
     out_e = block["experts"]["down_proj"](h).astype(jnp.float32)
     out_e = out_e + block["down_bias"][:, None, :]
     out = jnp.einsum("tec,ecd->td", combine.astype(jnp.float32), out_e)
+    if ep:
+        out = jax.lax.psum(out, cfg.ep_axis)
     return out.reshape(b, t, d).astype(x.dtype)
 
 

@@ -44,6 +44,9 @@ class Qwen3MoeConfig(llama.LlamaConfig):
     moe_intermediate_size: int = 256
     mlp_only_layers: tuple = ()
     capacity_factor: float = 2.0
+    # Expert-parallel axis (see mixtral.MixtralConfig.ep_axis): set by
+    # `parallel.tp.prepare_tp` when expert stacks shard over the mesh.
+    ep_axis: Optional[str] = None
 
     def __post_init__(self):
         if isinstance(self.mlp_only_layers, list):
@@ -127,14 +130,24 @@ def _moe_block(block: dict, cfg: Qwen3MoeConfig, x: Array) -> Array:
     capacity = max(int(-(-(b * t * k / e * cfg.capacity_factor) // 1)), 1)
 
     dispatch, combine = moe_dispatch(probs, k, capacity)
-    expert_in = jnp.einsum("tec,td->ecd", dispatch.astype(xf.dtype), xf)
 
     w_g, w_u, w_d = (block["experts"][n] for n in ("gate_proj", "up_proj", "down_proj"))
+    # Expert parallelism inside shard_map (see mixtral._moe_block)
+    e_local = w_g.n_experts
+    ep = cfg.ep_axis is not None and e_local != e
+    if ep:
+        off = jax.lax.axis_index(cfg.ep_axis) * e_local
+        dispatch = jax.lax.dynamic_slice_in_dim(dispatch, off, e_local, axis=1)
+        combine = jax.lax.dynamic_slice_in_dim(combine, off, e_local, axis=1)
+
+    expert_in = jnp.einsum("tec,td->ecd", dispatch.astype(xf.dtype), xf)
     h = jax.nn.silu(w_g(expert_in)) * w_u(expert_in)
     expert_out = w_d(h)
 
     out = jnp.einsum("tec,ecd->td", combine.astype(jnp.float32),
                      expert_out.astype(jnp.float32))
+    if ep:
+        out = jax.lax.psum(out, cfg.ep_axis)
     return out.reshape(b, t, d).astype(x.dtype)
 
 

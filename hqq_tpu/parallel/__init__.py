@@ -4,6 +4,7 @@ from .sharding import shard_params, tree_shardings  # noqa: F401
 from .tp import (  # noqa: F401
     AllGatherLinear,
     RowParallelLinear,
+    prepare_tp,
     prepare_tp_llama,
     tp_forward_fn,
     tp_paged_forward_fn,

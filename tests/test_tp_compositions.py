@@ -1,0 +1,105 @@
+# SPDX-License-Identifier: Apache-2.0
+"""TP × serving-feature composition grid (VERDICT r2 item 6).
+
+The serving feature matrix is large; these tests pin its TP column:
+{int8 KV pages, prefix cache, chunked prefill, speculative-paged} each run
+under tensor parallelism and must be token-for-token equal to the same
+feature on a single device. ≙ the compositions vLLM gives the reference for
+free (TP workers × paged attention × APC × chunked prefill × spec decode)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hqq_tpu.core.quantize import BaseQuantizeConfig
+from hqq_tpu.models import llama
+from hqq_tpu.models.base import quantize_model
+from hqq_tpu.parallel import make_mesh, prepare_tp, tp_serving_forward_fn
+from hqq_tpu.serving.paged import PagedBatchingEngine
+from hqq_tpu.serving.speculative import SpeculativePagedEngine
+from hqq_tpu.utils.patching import prepare_for_inference
+
+PROMPTS = [[3, 17, 29, 5], [11, 2], [7, 7, 23, 23, 41, 9]]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qparams = quantize_model(
+        params, BaseQuantizeConfig(nbits=4, group_size=32),
+        compute_dtype=jnp.float32,
+    )
+    mesh = make_mesh(data=1, model=2)
+    tp_params, tp_specs, local_cfg = prepare_tp(qparams, cfg, mesh)
+    single_params = prepare_for_inference(qparams, "pallas")
+    return cfg, mesh, tp_params, tp_specs, local_cfg, single_params
+
+
+def _run(engine, prompts=PROMPTS, n=6):
+    uids = [engine.add_request(p, max_new_tokens=n) for p in prompts]
+    outs = engine.run()
+    return [outs[u] for u in uids]
+
+
+def test_tp_x_int8_kv_pages(setup):
+    cfg, mesh, tp_params, tp_specs, local_cfg, single_params = setup
+    kw = dict(batch_slots=2, num_pages=32, page_size=4, max_pages_per_seq=8,
+              cache_dtype=jnp.float32, quantize_kv=True)
+    ref = _run(PagedBatchingEngine(single_params, cfg, **kw))
+    fwd = tp_serving_forward_fn(mesh, tp_specs, local_cfg, page_size=4,
+                                quantize_kv=True)
+    got = _run(PagedBatchingEngine(tp_params, cfg, forward_fn=fwd, **kw))
+    assert got == ref
+
+
+def test_tp_x_prefix_cache(setup):
+    cfg, mesh, tp_params, tp_specs, local_cfg, single_params = setup
+    # shared 8-token (2-page) prefix: the second request must hit the cache
+    shared = [5, 9, 13, 2, 7, 21, 3, 8]
+    prompts = [shared + [31, 4], shared + [17]]
+    kw = dict(batch_slots=2, num_pages=32, page_size=4, max_pages_per_seq=8,
+              cache_dtype=jnp.float32, enable_prefix_cache=True)
+    ref_eng = PagedBatchingEngine(single_params, cfg, **kw)
+    ref = _run(ref_eng, prompts)
+    fwd = tp_serving_forward_fn(mesh, tp_specs, local_cfg, page_size=4)
+    tp_eng = PagedBatchingEngine(tp_params, cfg, forward_fn=fwd, **kw)
+    got = _run(tp_eng, prompts)
+    assert got == ref
+    assert tp_eng.prefix_cache_hits > 0  # the feature actually engaged
+
+
+def test_tp_x_chunked_prefill(setup):
+    cfg, mesh, tp_params, tp_specs, local_cfg, single_params = setup
+    long_prompt = [(i * 7 + 3) % 50 + 1 for i in range(24)]
+    prompts = [long_prompt, [11, 2]]
+    kw = dict(batch_slots=2, num_pages=32, page_size=4, max_pages_per_seq=16,
+              cache_dtype=jnp.float32, prefill_chunk=8)
+    ref = _run(PagedBatchingEngine(single_params, cfg, **kw), prompts)
+    fwd = tp_serving_forward_fn(mesh, tp_specs, local_cfg, page_size=4)
+    got = _run(PagedBatchingEngine(tp_params, cfg, forward_fn=fwd, **kw),
+               prompts)
+    assert got == ref
+
+
+def test_tp_x_speculative_paged(setup):
+    """Speculative paged decoding with the TARGET under TP (the draft stays
+    replicated — it is small by construction). Greedy-exact: tokens equal
+    plain paged TP decoding and the single-device speculative engine."""
+    cfg, mesh, tp_params, tp_specs, local_cfg, single_params = setup
+    kw = dict(k_draft=3, batch_slots=2, num_pages=32, page_size=4,
+              max_pages_per_seq=8, cache_dtype=jnp.float32)
+    ref = _run(SpeculativePagedEngine(
+        single_params, single_params, cfg, **kw
+    ))
+    fwd = tp_serving_forward_fn(mesh, tp_specs, local_cfg, page_size=4)
+    got = _run(SpeculativePagedEngine(
+        tp_params, single_params, cfg, forward_fn=fwd, **kw
+    ))
+    assert got == ref
+
+    plain = _run(PagedBatchingEngine(
+        single_params, cfg, batch_slots=2, num_pages=32, page_size=4,
+        max_pages_per_seq=8, cache_dtype=jnp.float32,
+    ))
+    assert got == plain
