@@ -204,6 +204,13 @@ def _register_mixtral():
         "forward": gpt2_mod.forward,
         "loader": gpt2_mod.params_from_hf_state_dict,
     }
+    from ..models import bloom as bloom_mod
+
+    _HQQ_REGISTRY["bloom"] = {
+        "config": bloom_mod.BloomConfig.from_hf,
+        "forward": bloom_mod.forward,
+        "loader": bloom_mod.params_from_hf_state_dict,
+    }
 
 
 _register_mixtral()

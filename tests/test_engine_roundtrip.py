@@ -103,6 +103,11 @@ def _build(model_type):
 
         cfg = gpt2.GPT2Config.tiny()
         params = gpt2.init_params(cfg, key, dtype=jnp.float32)
+    elif model_type == "bloom":
+        from hqq_tpu.models import bloom
+
+        cfg = bloom.BloomConfig.tiny()
+        params = bloom.init_params(cfg, key, dtype=jnp.float32)
     else:  # pragma: no cover
         raise KeyError(model_type)
     return cfg, params
