@@ -29,7 +29,6 @@ from jax import Array
 
 from ..nn.linear import Linear
 from . import llama
-from . import llama
 from .llama import KVCache, _update_stacked_cache, positions_and_masks, rms_norm
 
 __all__ = ["DeepseekV3Config", "init_params", "forward", "init_cache"]

@@ -69,6 +69,7 @@ def _engine_for(args, params, cfg):
     return ContinuousBatchingEngine(
         params, cfg, batch_slots=args.slots, max_len=args.max_len,
         eos_token_id=args.eos, do_sample=args.sample, horizon=args.horizon,
+        quantize_kv=args.int8_kv,
     )
 
 

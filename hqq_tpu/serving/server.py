@@ -10,6 +10,12 @@ condition variable until their uid finishes. Pure stdlib — no web framework.
 
     POST /generate   {"prompt_ids": [...], "max_new_tokens": 64}
                   -> {"uid": 3, "tokens": [...]}
+    POST /generate   {"prompt_ids": [...], "stream": true}
+                  -> text/event-stream; `data: {"uid":3,"tokens":[...]}` per
+                     decode progress, final event carries `"done": true` and
+                     the full token list (tokens stream as the engine steps —
+                     the role vLLM's OpenAI-compatible streaming endpoint
+                     plays for the reference)
     POST /cancel     {"uid": 3} -> {"cancelled": true}
     GET  /healthz    -> {"ok": true, "active": 2, "queued": 0}
 
@@ -32,6 +38,14 @@ class InferenceServer:
                  tokenizer: Optional[Any] = None):
         self.engine = engine
         self.tokenizer = tokenizer
+        # Lock split so a long engine.step() (seconds-to-minutes on first JIT
+        # compile) never blocks /healthz or request submission:
+        #   _step_lock  — serializes engine-structure mutation that must not
+        #                 overlap a running step (step itself, cancel)
+        #   _lock/_done — guards uid allocation + finished-wait notification
+        # add_request only appends to the engine queue (popped by _schedule
+        # inside step), so submissions stay instant while a step runs.
+        self._step_lock = threading.Lock()
         self._lock = threading.Lock()
         self._done = threading.Condition(self._lock)
         self._stop = threading.Event()
@@ -50,14 +64,29 @@ class InferenceServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _sse(self, ids, max_new_tokens):
+                """Server-sent events: one `data:` line per decode progress,
+                connection-close delimited (HTTP/1.0 framing)."""
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Connection", "close")
+                self.end_headers()
+                for event in srv.stream(ids, max_new_tokens):
+                    if srv.tokenizer is not None and event.get("done"):
+                        event["text"] = srv.tokenizer.decode(event["tokens"])
+                    self.wfile.write(f"data: {json.dumps(event)}\n\n".encode())
+                    self.wfile.flush()
+
             def do_GET(self):
                 if self.path == "/healthz":
-                    with srv._lock:
-                        self._json(200, {
-                            "ok": True,
-                            "active": len(srv.engine.active),
-                            "queued": len(srv.engine.queue),
-                        })
+                    # lock-free: len() on the engine's containers is atomic
+                    # under the GIL, and health must answer mid-step
+                    self._json(200, {
+                        "ok": True,
+                        "active": len(srv.engine.active),
+                        "queued": len(srv.engine.queue),
+                    })
                 else:
                     self._json(404, {"error": "not found"})
 
@@ -73,14 +102,18 @@ class InferenceServer:
                         ids = srv.tokenizer(req.get("prompt", ""))["input_ids"]
                     if not ids:
                         return self._json(400, {"error": "prompt_ids required"})
-                    out = srv.generate(ids, int(req.get("max_new_tokens", 64)))
+                    mnt = int(req.get("max_new_tokens", 64))
+                    if req.get("stream"):
+                        return self._sse(ids, mnt)
+                    out = srv.generate(ids, mnt)
                     resp = dict(out)
                     if srv.tokenizer is not None:
                         resp["text"] = srv.tokenizer.decode(out["tokens"])
                     return self._json(200, resp)
                 if self.path == "/cancel":
-                    with srv._lock:
+                    with srv._step_lock:  # must not overlap a running step
                         ok = srv.engine.cancel(int(req.get("uid", -1)))
+                    with srv._lock:
                         srv._done.notify_all()
                     return self._json(200, {"cancelled": bool(ok)})
                 return self._json(404, {"error": "not found"})
@@ -93,22 +126,58 @@ class InferenceServer:
         import time
 
         while not self._stop.is_set():
-            with self._lock:
-                busy = bool(self.engine.queue or self.engine.active
-                            or getattr(self.engine, "_prefilling", None))
-                if busy:
+            busy = bool(self.engine.queue or self.engine.active
+                        or getattr(self.engine, "_prefilling", None))
+            if busy:
+                with self._step_lock:  # step runs OUTSIDE the wait lock
                     self.engine.step()
+                with self._lock:
                     self._done.notify_all()
-            if not busy:
+            else:
                 time.sleep(0.005)
 
     def generate(self, prompt_ids, max_new_tokens: int) -> dict:
         """Blocking submit: enqueue and wait for completion."""
         with self._lock:
+            # enqueue only (engine.add_request appends to the queue; the loop
+            # thread admits it inside step) — instant even mid-step
             uid = self.engine.add_request(prompt_ids, max_new_tokens=max_new_tokens)
             while uid not in self.engine.finished:
                 self._done.wait(timeout=60.0)
             return {"uid": uid, "tokens": list(self.engine.finished[uid].output)}
+
+    def _progress(self, uid):
+        """(tokens_so_far, done) for a request — caller holds `_lock`."""
+        req = self.engine.finished.get(uid)
+        if req is None:
+            for r in self.engine.active.values():
+                if r.uid == uid:
+                    req = r
+                    break
+        out = list(req.output) if req is not None and req.output else []
+        return out, uid in self.engine.finished
+
+    def stream(self, prompt_ids, max_new_tokens: int):
+        """Incremental submit: yield {"uid", "tokens": new_tokens} as the
+        engine decodes, then a final {"uid", "done": True, "tokens": all}.
+        The concatenation of streamed chunks equals the blocking result.
+        The lock is NOT held while a chunk is being consumed (written to a
+        socket), so other requests and the step loop keep moving."""
+        with self._lock:
+            uid = self.engine.add_request(prompt_ids, max_new_tokens=max_new_tokens)
+        sent = 0
+        while True:
+            with self._lock:
+                out, done = self._progress(uid)
+                while len(out) == sent and not done:
+                    self._done.wait(timeout=60.0)
+                    out, done = self._progress(uid)
+            if len(out) > sent:
+                yield {"uid": uid, "tokens": out[sent:]}
+                sent = len(out)
+            if done:
+                yield {"uid": uid, "done": True, "tokens": out}
+                return
 
     # -- lifecycle ----------------------------------------------------------
     def start(self):

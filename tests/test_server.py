@@ -67,6 +67,38 @@ def test_concurrent_requests(server):
                for r in results.values()), results
 
 
+def test_stream_endpoint_matches_blocking(server):
+    """SSE streaming (VERDICT r2 item 9): partial token events arrive before
+    completion, and their concatenation equals the non-streamed output."""
+    srv, params, cfg = server
+    prompt = [3, 17, 29, 5]
+    _, ref = _post(srv.port, "/generate",
+                   {"prompt_ids": prompt, "max_new_tokens": 8})
+
+    conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=120)
+    conn.request("POST", "/generate",
+                 json.dumps({"prompt_ids": prompt, "max_new_tokens": 8,
+                             "stream": True}),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "text/event-stream"
+    events = []
+    while True:
+        line = resp.fp.readline()
+        if not line:
+            break
+        line = line.strip()
+        if line.startswith(b"data: "):
+            events.append(json.loads(line[len(b"data: "):]))
+
+    assert len(events) >= 2, events
+    assert all("done" not in e for e in events[:-1])  # partials precede done
+    assert events[-1].get("done") is True
+    streamed = [t for e in events[:-1] for t in e["tokens"]]
+    assert streamed == events[-1]["tokens"] == ref["tokens"]
+
+
 def test_healthz_and_bad_request(server):
     srv, *_ = server
     conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
