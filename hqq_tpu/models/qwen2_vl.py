@@ -45,6 +45,7 @@ from .vit import _layer_norm
 __all__ = [
     "VisionConfig",
     "Qwen2VLConfig",
+    "init_params",
     "vision_forward",
     "forward",
     "get_mrope_positions",
@@ -117,6 +118,58 @@ class Qwen2VLConfig:
             video_token_id=hf.get("video_token_id", 151656),
             vision_start_token_id=hf.get("vision_start_token_id", 151652),
         )
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 256) -> "Qwen2VLConfig":
+        """Test-scale instance (vision token ids inside the tiny vocab)."""
+        return cls(
+            text=llama.LlamaConfig.tiny(vocab_size=vocab_size),
+            vision=VisionConfig(depth=2, embed_dim=64, hidden_size=256,
+                                num_heads=4, patch_size=4, mlp_ratio=2),
+            mrope_section=(16, 8, 8),
+            image_token_id=vocab_size - 2,
+            video_token_id=vocab_size - 3,
+            vision_start_token_id=vocab_size - 4,
+        )
+
+
+def init_params(cfg: Qwen2VLConfig, key: Array, dtype=jnp.bfloat16) -> dict:
+    """Random {"text", "vision"} param trees with real-checkpoint structure
+    (a real checkpoint loads through `params_from_hf_state_dict`)."""
+    vc = cfg.vision
+    e = vc.embed_dim
+    keys = iter(jax.random.split(key, 8 + 6 * vc.depth))
+
+    def lin(o, i, bias=True):
+        return Linear(
+            weight=jax.random.normal(next(keys), (o, i), dtype) * 0.05,
+            bias=jnp.zeros((o,), dtype) if bias else None,
+        )
+
+    def ln(d):
+        return {"weight": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+    vision = {
+        "patch_embed": Linear(
+            weight=jax.random.normal(next(keys), (e, vc.patch_dim), dtype) * 0.05
+        ),
+        "blocks": [
+            {
+                "norm1": ln(e),
+                "attn_qkv": lin(3 * e, e),
+                "attn_proj": lin(e, e),
+                "norm2": ln(e),
+                "fc1": lin(e * vc.mlp_ratio, e),
+                "fc2": lin(e, e * vc.mlp_ratio),
+            }
+            for _ in range(vc.depth)
+        ],
+        "merger_ln_q": ln(e),
+        "merger_fc1": lin(4 * e, 4 * e),
+        "merger_fc2": lin(vc.hidden_size, 4 * e),
+    }
+    text = llama.init_params(cfg.text, next(keys), dtype)
+    return {"text": text, "vision": vision}
 
 
 # --------------------------------------------------------------------------
