@@ -102,6 +102,10 @@ class A8QuantLinear:
 
     kqt: KernelQTensor
     bias: Optional[Array] = None
+    # Mesh axis to pmax the activation scale over (set by TP prep on
+    # K-sharded rows) — makes the TP psum reproduce the single-device
+    # activation quantization exactly. None outside shard_map.
+    reduce_axis: Optional[str] = struct.field(pytree_node=False, default=None)
 
     @property
     def in_features(self) -> int:
@@ -116,7 +120,9 @@ class A8QuantLinear:
         return self.kqt.compute_dtype
 
     def __call__(self, x: Array) -> Array:
-        out = quant_matmul_pallas_a8(x.astype(self.compute_dtype), self.kqt)
+        out = quant_matmul_pallas_a8(
+            x.astype(self.compute_dtype), self.kqt, reduce_axis=self.reduce_axis
+        )
         if self.bias is not None:
             out = out + self.bias
         return out

@@ -643,24 +643,39 @@ def _qmm_a8_call(
     return out[:m, :n]
 
 
-def quantize_activations_int8(x2: Array) -> tuple[Array, Array]:
-    """Per-row symmetric int8 activation quantization: x ≈ x8 * sx."""
+def quantize_activations_int8(
+    x2: Array, reduce_axis: Optional[str] = None
+) -> tuple[Array, Array]:
+    """Per-row symmetric int8 activation quantization: x ≈ x8 * sx.
+
+    reduce_axis: mesh axis name to pmax the row amax over (shard_map TP,
+    K-sharded rows) — every rank then uses the GLOBAL-K scale, so the
+    per-rank int8 codes are exactly the single-device codes restricted to
+    the local K slice and the psum of partials reproduces the single-device
+    result (no shard-dependent requantization error)."""
     xf = x2.astype(jnp.float32)
-    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-    sx = jnp.maximum(sx, 1e-8)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    if reduce_axis is not None:
+        amax = jax.lax.pmax(amax, reduce_axis)
+    sx = jnp.maximum(amax / 127.0, 1e-8)
     x8 = jnp.round(xf / sx).astype(jnp.int8)
     return x8, sx
 
 
 def quant_matmul_pallas_a8(
-    x: Array, kqt: KernelQTensor, interpret: Optional[bool] = None
+    x: Array, kqt: KernelQTensor, interpret: Optional[bool] = None,
+    reduce_axis: Optional[str] = None,
 ) -> Array:
     """`x @ W_dq` from true 4-bit storage via int8 MXU dots (see kernel doc).
 
     x: [..., K] -> [..., N] in x's dtype. Weight-side exact; activations are
     dynamically int8-quantized per token (≙ the int8 backend's activation
     path, `backends/int8_backend.py`). Routes to the class-replicated decode
-    kernel for M <= 32, the batched per-group variant otherwise."""
+    kernel for M <= 32, the batched per-group variant otherwise.
+
+    reduce_axis: mesh axis to pmax the activation amax over (K-sharded TP —
+    see `quantize_activations_int8`); the bf16-operand fallback routes are
+    full-precision and need no reduction."""
     if isinstance(kqt, KernelQTensor0):
         # axis=0 scales vary along the contraction dim per output row, so
         # they cannot factor out of an int8 dot — the fused bf16-operand
@@ -685,7 +700,7 @@ def quant_matmul_pallas_a8(
         # weight-feed-bound, so the bf16-operand kernel wins (measured 2.2×
         # at M=512) AND skips the activation quantization entirely.
         return quant_matmul_pallas(x, kqt, interpret=interpret)
-    x8, sx = quantize_activations_int8(x2)
+    x8, sx = quantize_activations_int8(x2, reduce_axis)
     if k_arr != k_logical:
         x8 = jnp.pad(x8, ((0, 0), (0, k_arr - k_logical)))
     common = dict(

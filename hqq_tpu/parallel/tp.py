@@ -298,6 +298,14 @@ def prepare_tp(
             if key in _ROW_KEYS:
                 counts["row"] += 1
                 mod, bias = _strip_bias(_to_fast(node, use_pallas, backend))
+                from ..backends.pallas_backend import A8QuantLinear
+
+                if isinstance(mod, A8QuantLinear):
+                    # K-sharded row: pmax the activation scale so every rank
+                    # quantizes with the GLOBAL amax — the psum then equals
+                    # the single-device w4a8 result (no shard-local requant
+                    # error; closes the r2 5%-tolerance gap)
+                    mod = dataclasses.replace(mod, reduce_axis="model")
                 return RowParallelLinear(inner=mod, bias=bias)
             seg = _fused_col_segments(key, cfg)
             if seg is not None:
