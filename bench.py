@@ -121,6 +121,98 @@ def build_quantized_llama(cfg, nbits=4, group_size=64, dtype=jnp.bfloat16, seed=
     return params
 
 
+def measure_kernels() -> dict:
+    """Per-kernel decode (M=1) numbers with ceilings: achieved bytes/s, % of
+    the HBM byte roofline, and time vs the dense-int8 MXU-feed ceiling at the
+    SAME shape (the int8-operand rate both paths share; w4a8 within ~1.11x of
+    it == feed-bound, not byte-bound). Shapes cover 7B and 13B projections."""
+    from hqq_tpu.core.quantize import quantize
+    from hqq_tpu.ops.fused_matmul import quant_matmul_pallas_a8, to_kernel_layout
+    from tools.bench_kernels import time_scan
+
+    bw = detect_bw()
+    rng = np.random.default_rng(0)
+    out = {}
+    for (n, k) in ((11008, 4096), (4096, 11008), (13824, 5120), (5120, 13824)):
+        L = max(6, int(48 * 4096 * 4096 / (n * k)))
+        w_np = rng.standard_normal((n, k), dtype=np.float32) / 20
+        x1 = jnp.asarray(rng.standard_normal((1, k), dtype=np.float32) / 10,
+                         jnp.bfloat16)
+        w8 = jnp.stack([jnp.asarray(np.round(w_np * 100).astype(np.int8))] * L)
+
+        def int8_step(w, x):
+            xf = x.astype(jnp.float32)
+            sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+            x8 = jnp.round(xf / jnp.maximum(sx, 1e-8)).astype(jnp.int8)
+            acc = jax.lax.dot_general(x8, w, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            return (x + (acc.astype(jnp.float32) * sx)[:, :k] * 1e-6).astype(x.dtype)
+
+        t8 = time_scan(int8_step, w8, x1, iters=4)
+        del w8
+
+        qt = quantize(jnp.asarray(w_np), nbits=4, group_size=64, axis=1,
+                      round_zero=True, compute_dtype=jnp.bfloat16)
+        g = 64
+        pad32 = -(-k // (32 * g)) * 32 * g
+        kqt = to_kernel_layout(
+            qt, pad_k_groups=32 if (pad32 - k) * 8 <= k else 8
+        )
+        stacked = jax.tree_util.tree_map(lambda a: jnp.stack([a] * L), kqt)
+        bytes_q = kqt.wq.size + kqt.scale.size * 4 + kqt.zs.size * 4
+
+        def a8_step(w, x):
+            return (x + quant_matmul_pallas_a8(x, w)[:, :k] * 1e-6).astype(x.dtype)
+
+        t = time_scan(a8_step, stacked, x1, iters=4)
+        del stacked
+        out[f"k{k}_n{n}"] = {
+            "w4a8_us": round(t * 1e6, 1),
+            "int8_ceiling_us": round(t8 * 1e6, 1),
+            "w4a8_tb_s": round(bytes_q / t / 1e12, 3),
+            "pct_byte_roofline": round(bytes_q / bw / t * 100, 1),
+            "pct_int8_ceiling": round(t8 / t * 100, 1),
+        }
+        print(f"# kernel [{k}x{n}] w4a8 {t*1e6:.1f}us int8-ceiling {t8*1e6:.1f}us "
+              f"({out[f'k{k}_n{n}']['pct_byte_roofline']}% roofline, "
+              f"{out[f'k{k}_n{n}']['pct_int8_ceiling']}% of ceiling)",
+              file=sys.stderr)
+    return out
+
+
+def measure_engines(cfg, params) -> dict:
+    """Steady-state serving throughput through BOTH engines on the already-
+    built w4a8 model (docs/SERVING.md's 354 / 239 tok/s figures): first run
+    pays compile, the timed second run is the steady state."""
+    from hqq_tpu.serving.batching import ContinuousBatchingEngine
+    from hqq_tpu.serving.paged import PagedBatchingEngine
+
+    out = {}
+    prompts = [[7 + i, 23, 45, 11, 9 + i] for i in range(12)]
+
+    def run_timed(eng):
+        for p in prompts:
+            eng.add_request(p, max_new_tokens=64)
+        eng.run()  # compile + warm
+        for p in prompts:
+            eng.add_request(p, max_new_tokens=64)
+        t0 = time.time()
+        outs = eng.run()
+        dt = time.time() - t0
+        return round(12 * 64 / dt, 1)
+
+    out["dense_engine_tok_s"] = run_timed(ContinuousBatchingEngine(
+        params, cfg, batch_slots=8, max_len=256, horizon=16
+    ))
+    out["paged_engine_tok_s"] = run_timed(PagedBatchingEngine(
+        params, cfg, batch_slots=8, num_pages=192, page_size=16,
+        max_pages_per_seq=16, horizon=8,
+    ))
+    print(f"# engines: dense {out['dense_engine_tok_s']} tok/s, "
+          f"paged {out['paged_engine_tok_s']} tok/s", file=sys.stderr)
+    return out
+
+
 def main():
     from hqq_tpu.models import LlamaConfig, forward, init_cache
     from hqq_tpu.utils.patching import fuse_for_decode
@@ -196,10 +288,20 @@ def main():
         params = build("w4a8")
         tok_s = measure_decode(params, batch=1)
         extra["batch8_tok_s"] = round(measure_decode(params, batch=8, reps=2), 2)
-        del params
     except Exception as e:  # noqa: BLE001 — never lose the benchmark to a backend issue
         print(f"# w4a8 decode path failed ({e!r}); falling back to int8", file=sys.stderr)
         tok_s = None
+        params = None
+
+    # ---- engine steady-state (the serving numbers users actually get;
+    # regression-guards docs/SERVING.md's measured figures) ----
+    if on_tpu and params is not None:
+        try:
+            extra.update(measure_engines(cfg, params))
+        except Exception as e:  # noqa: BLE001
+            print(f"# engine steady-state failed: {e!r}", file=sys.stderr)
+    if params is not None:
+        del params
 
     # ---- int8 requant path (2x the memory; prefill champion) ----
     try:
@@ -215,6 +317,52 @@ def main():
             params = build("pallas")
             tok_s = measure_decode(params, batch=1)
             del params
+
+    # ---- kernel-level ceilings (7B + 13B shapes) ----
+    if on_tpu:
+        try:
+            extra["kernels"] = measure_kernels()
+        except Exception as e:  # noqa: BLE001
+            print(f"# kernel section failed: {e!r}", file=sys.stderr)
+
+    # ---- 13B w4a8: the half-memory path's raison d'etre (13B on ONE v5e) ----
+    if on_tpu:
+        try:
+            cfg13 = LlamaConfig.llama2_13b()
+            t0 = time.time()
+            params13 = build_quantized_llama(cfg13, nbits=4, group_size=64,
+                                             backend="w4a8")
+            params13 = fuse_for_decode(params13)
+            jax.block_until_ready(params13["norm"])
+            print(f"# built 13B w4a8 in {time.time()-t0:.1f}s", file=sys.stderr)
+            cache13 = init_cache(cfg13, batch=1, max_len=cache_len)
+
+            @jax.jit
+            def decode13(params, cache, first_tok, start_pos):
+                def body(carry, _):
+                    tok, cache, pos = carry
+                    logits, cache = forward(params, cfg13, tok, cache, pos)
+                    nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                    return (nxt, cache, pos + 1), nxt[:, 0]
+                (_, cache, _), toks = jax.lax.scan(
+                    body, (first_tok, cache, start_pos), None, length=64
+                )
+                return toks
+
+            first = jnp.ones((1, 1), jnp.int32)
+            pos0 = jnp.asarray(1, jnp.int32)
+            np.asarray(decode13(params13, cache13, first, pos0))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                np.asarray(decode13(params13, cache13, first, pos0))
+                best = min(best, (time.time() - t0) / 64)
+            extra["tok_s_13b_w4a8"] = round(1.0 / best, 2)
+            print(f"# 13B w4a8 decode: {extra['tok_s_13b_w4a8']} tok/s",
+                  file=sys.stderr)
+            del params13, cache13
+        except Exception as e:  # noqa: BLE001
+            print(f"# 13B section failed: {e!r}", file=sys.stderr)
 
     # bf16 roofline: all weight bytes (linears + embed/head) once per token.
     d, f = cfg.hidden_size, cfg.intermediate_size

@@ -118,6 +118,16 @@ class LlamaConfig:
         return cls()
 
     @classmethod
+    def llama2_13b(cls) -> "LlamaConfig":
+        return cls(
+            hidden_size=5120,
+            intermediate_size=13824,
+            num_hidden_layers=40,
+            num_attention_heads=40,
+            num_key_value_heads=40,
+        )
+
+    @classmethod
     def llama3_8b(cls) -> "LlamaConfig":
         return cls(
             vocab_size=128256,

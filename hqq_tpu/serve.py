@@ -29,31 +29,56 @@ def build_engine(args):
         # native hqq_tpu quantized checkpoint
         model = HQQModelForCausalLM.from_quantized(model_dir)
         params, cfg = model.params, model.cfg
-        params = prepare_for_inference(params, args.backend)
-        if args.fuse:
-            params = fuse_for_decode(params)
-        return _engine_for(args, params, cfg)
-
-    with open(os.path.join(model_dir, "config.json")) as f:
-        conf = json.load(f)
-    if conf.get("quantization_config", {}).get("quant_method") == "gptq":
-        from .models.interop import load_gptq
-
-        params, cfg = load_gptq(model_dir, compute_dtype=jnp.bfloat16)
+        family_fwd = model._arch["forward"]
     else:
-        model = HQQModelForCausalLM.from_pretrained(model_dir)
-        model.quantize_model(
-            BaseQuantizeConfig(nbits=args.nbits, group_size=args.group_size)
+        with open(os.path.join(model_dir, "config.json")) as f:
+            conf = json.load(f)
+        if conf.get("quantization_config", {}).get("quant_method") == "gptq":
+            from .models import llama
+            from .models.interop import load_gptq
+
+            params, cfg = load_gptq(model_dir, compute_dtype=jnp.bfloat16)
+            family_fwd = llama.forward
+        else:
+            model = HQQModelForCausalLM.from_pretrained(model_dir)
+            model.quantize_model(
+                BaseQuantizeConfig(nbits=args.nbits, group_size=args.group_size)
+            )
+            params, cfg = model.params, model.cfg
+            family_fwd = model._arch["forward"]
+
+    if args.tp > 1:
+        # TP deployment: shard over the local chips (shard_map TP — the
+        # vLLM `tensor_parallel_size=N` role). prepare_tp consumes the
+        # QUANTIZED tree (it does its own kernel-layout conversion), so the
+        # single-device prepare/fuse steps are skipped.
+        from .parallel import make_mesh, prepare_tp, tp_serving_forward_fn
+
+        mesh = make_mesh(data=1, model=args.tp)
+        backend = args.backend if args.backend in ("pallas", "w4a8") else "pallas"
+        tp_params, tp_specs, local_cfg = prepare_tp(
+            params, cfg, mesh, backend=backend
         )
-        params, cfg = model.params, model.cfg
+        fwd = tp_serving_forward_fn(
+            mesh, tp_specs, local_cfg, page_size=args.page_size,
+            forward=family_fwd,
+        )
+        return _engine_for(args, tp_params, cfg, forward_fn=fwd)
 
     params = prepare_for_inference(params, args.backend)
     if args.fuse:
         params = fuse_for_decode(params)
-    return _engine_for(args, params, cfg)
+    fwd = (
+        lambda p, toks, cache, pos, ptab=None: family_fwd(
+            p, cfg, toks, cache, pos, page_indices=ptab
+        )
+    ) if args.engine == "paged" else (
+        lambda p, toks, cache, pos: family_fwd(p, cfg, toks, cache, pos)
+    )
+    return _engine_for(args, params, cfg, forward_fn=fwd)
 
 
-def _engine_for(args, params, cfg):
+def _engine_for(args, params, cfg, forward_fn=None):
     if args.engine == "paged":
         from .serving.paged import PagedBatchingEngine
 
@@ -62,14 +87,14 @@ def _engine_for(args, params, cfg):
             page_size=args.page_size, max_pages_per_seq=args.max_pages_per_seq,
             eos_token_id=args.eos, do_sample=args.sample, horizon=args.horizon,
             quantize_kv=args.int8_kv, enable_prefix_cache=args.prefix_cache,
-            prefill_chunk=args.prefill_chunk,
+            prefill_chunk=args.prefill_chunk, forward_fn=forward_fn,
         )
     from .serving.batching import ContinuousBatchingEngine
 
     return ContinuousBatchingEngine(
         params, cfg, batch_slots=args.slots, max_len=args.max_len,
         eos_token_id=args.eos, do_sample=args.sample, horizon=args.horizon,
-        quantize_kv=args.int8_kv,
+        quantize_kv=args.int8_kv, forward_fn=forward_fn,
     )
 
 
@@ -81,6 +106,9 @@ def make_parser():
     p.add_argument("--backend", default="w4a8",
                    choices=("w4a8", "int8", "pallas", "xla"))
     p.add_argument("--engine", default="paged", choices=("paged", "dense"))
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree over local devices "
+                        "(shard_map TP; ≙ vLLM tensor_parallel_size)")
     p.add_argument("--fuse", action="store_true", default=True)
     p.add_argument("--no-fuse", dest="fuse", action="store_false")
     p.add_argument("--slots", type=int, default=8)

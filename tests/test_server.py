@@ -135,3 +135,39 @@ def test_serve_cli_with_quantized_checkpoint(tmp_path):
         assert status == 200 and len(out["tokens"]) == 4, out
     finally:
         srv.stop()
+
+
+def test_serve_cli_tp(tmp_path):
+    """--tp 2: the CLI shards the checkpoint over a 2-device mesh (shard_map
+    TP) and serves token streams equal to the single-device CLI engine."""
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.engine.hf import HQQModel
+    from hqq_tpu.serve import main as serve_main
+
+    cfg = llama.LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=8,
+        head_dim=32, max_position_embeddings=128,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    model = HQQModel(params=params, cfg=cfg, model_type="llama")
+    model.quantize_model(BaseQuantizeConfig(nbits=4, group_size=32))
+    ckpt = str(tmp_path / "m")
+    model.save_quantized(ckpt)
+
+    common = ["--model", ckpt, "--port", "0", "--engine", "paged",
+              "--slots", "2", "--num-pages", "32", "--page-size", "4",
+              "--max-pages-per-seq", "8"]
+    outs = {}
+    for name, extra_args in (("single", []), ("tp", ["--tp", "2"])):
+        srv = serve_main(common + extra_args, serve=False)
+        srv.start()
+        try:
+            status, out = _post(srv.port, "/generate",
+                                {"prompt_ids": [3, 17, 29],
+                                 "max_new_tokens": 6})
+            assert status == 200, out
+            outs[name] = out["tokens"]
+        finally:
+            srv.stop()
+    assert outs["tp"] == outs["single"]
