@@ -147,3 +147,39 @@ def test_ax0_matches_reference_grouping_semantics():
     x = jnp.eye(k, dtype=jnp.float32)
     got = np.asarray(quant_matmul_pallas(x, kqt), np.float32).T  # W
     np.testing.assert_allclose(got, w_manual, rtol=0, atol=1e-5)
+
+
+def test_ax0_model_serves_paged_engine():
+    """BASELINE config 3 end-to-end: a 2-bit AXIS=0 quantized llama serves
+    through the paged continuous-batching engine on the fused backend,
+    token-for-token equal to the canonical (xla QuantLinear) engine."""
+    from hqq_tpu.models import llama
+    from hqq_tpu.models.base import quantize_model
+    from hqq_tpu.serving.paged import PagedBatchingEngine
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    q = quantize_model(
+        params,
+        BaseQuantizeConfig(nbits=2, group_size=16, axis=0,
+                           compute_dtype=jnp.float32),
+        compute_dtype=jnp.float32,
+    )
+    kw = dict(batch_slots=2, num_pages=32, page_size=4, max_pages_per_seq=8,
+              cache_dtype=jnp.float32)
+    prompts = [[3, 17, 29, 5], [11, 2, 7]]
+
+    def run(tree):
+        eng = PagedBatchingEngine(tree, cfg, **kw)
+        uids = [eng.add_request(p, max_new_tokens=6) for p in prompts]
+        outs = eng.run()
+        return [outs[u] for u in uids]
+
+    ref = run(q)  # xla path
+    fused = prepare_for_inference(q, "pallas")
+    from hqq_tpu.backends.pallas_backend import PallasQuantLinear
+
+    leaf = fused["layers"][0]["self_attn"]["q_proj"]
+    assert isinstance(leaf, PallasQuantLinear)
+    assert leaf.kqt.__class__.__name__ == "KernelQTensor0"
+    assert run(fused) == ref
