@@ -180,6 +180,50 @@ def measure_kernels() -> dict:
     return out
 
 
+def measure_ax0() -> dict:
+    """Axis=0 quality-mode kernel row (BASELINE config 3: Llama-2-7B 2/3-bit
+    axis=0). Times the fused axis=0 Pallas kernel at a 7B projection shape
+    (M=1 decode) against the 4-bit axis=1 bf16-operand kernel's time at the
+    same shape — VERDICT r2's done-bar is ax0 within ~1.15x of that floor."""
+    from hqq_tpu.core.quantize import quantize
+    from hqq_tpu.ops.fused_matmul import (
+        quant_matmul_pallas,
+        to_kernel_layout,
+        to_kernel_layout_ax0,
+    )
+    from tools.bench_kernels import time_scan
+
+    N, K, L = 4096, 4096, 48
+    rng = np.random.default_rng(0)
+    w_np = rng.standard_normal((N, K), dtype=np.float32) / 20
+    x1 = jnp.asarray(rng.standard_normal((1, K), dtype=np.float32) / 10,
+                     jnp.bfloat16)
+
+    def qmm_step(w, x):
+        return (x + quant_matmul_pallas(x, w)[:, :K] * 1e-6).astype(x.dtype)
+
+    out = {}
+    qt1 = quantize(jnp.asarray(w_np), nbits=4, group_size=64, axis=1,
+                   round_zero=True, compute_dtype=jnp.bfloat16)
+    stacked = jax.tree_util.tree_map(lambda a: jnp.stack([a] * L),
+                                     to_kernel_layout(qt1))
+    floor = time_scan(qmm_step, stacked, x1, iters=4)
+    out["ax1_4b_us"] = round(floor * 1e6, 1)
+    del stacked
+
+    for nbits, g, tag in ((2, 16, "ax0_2b_g16"), (3, 64, "ax0_3b_g64")):
+        qt = quantize(jnp.asarray(w_np), nbits=nbits, group_size=g, axis=0,
+                      compute_dtype=jnp.bfloat16)
+        stacked = jax.tree_util.tree_map(lambda a: jnp.stack([a] * L),
+                                         to_kernel_layout_ax0(qt))
+        t = time_scan(qmm_step, stacked, x1, iters=4)
+        out[f"{tag}_us"] = round(t * 1e6, 1)
+        out[f"{tag}_vs_ax1_4b"] = round(t / floor, 3)
+        del stacked
+    print(f"# ax0 kernels: {out}", file=sys.stderr)
+    return out
+
+
 def measure_engines(cfg, params) -> dict:
     """Steady-state serving throughput through BOTH engines on the already-
     built w4a8 model (docs/SERVING.md's 354 / 239 tok/s figures): first run
@@ -324,6 +368,13 @@ def main():
             extra["kernels"] = measure_kernels()
         except Exception as e:  # noqa: BLE001
             print(f"# kernel section failed: {e!r}", file=sys.stderr)
+
+    # ---- axis=0 quality-mode kernels (BASELINE config 3) ----
+    if on_tpu:
+        try:
+            extra["ax0"] = measure_ax0()
+        except Exception as e:  # noqa: BLE001
+            print(f"# ax0 section failed: {e!r}", file=sys.stderr)
 
     # ---- 13B w4a8: the half-memory path's raison d'etre (13B on ONE v5e) ----
     if on_tpu:

@@ -811,6 +811,21 @@ def dequant_pallas(
 # Packing reuses the per-group chunk-split scheme along N, so any N-tile that
 # is a multiple of g unpacks locally — `_unpack_tile` and the dequant
 # broadcast are shared with the axis=1 kernel verbatim.
+#
+# CHUNK-MAJOR variant (g//r < 8): the shared scheme's unpack chunks are
+# [n_groups, g//r, TK] — when the within-group chunk height g//r drops below
+# the native 8-sublane tile (2-bit g16, 1-bit g16/g32), Mosaic relayouts the
+# sub-tile concat and the kernel goes compute-bound (measured 110 µs vs the
+# ~45 µs stream floor at 4096², tools/kernel_lab_ax0.py). For those configs
+# the pack instead orders packed rows chunk-POSITION-major across all groups
+# (row c·NG + gi packs logical rows gi·g + j·step + c), so in-kernel:
+#   - shift/mask chunks stay full-tile 2-D [TNR, TK],
+#   - scale/zs expand by CONCAT-style `pltpu.repeat` (row p → scale[p mod NG],
+#     which IS the group id in this order) — no sub-8-sublane interleave,
+#   - each chunk j gets its own dot into a contiguous accumulator slice,
+# and the chunk-major row order is un-permuted outside the kernel by a pure
+# reshape/transpose on the (decode-tiny) output. Measured 110 → ~52 µs for
+# 2-bit g16 (stream-bound), identical results.
 # ---------------------------------------------------------------------------
 
 
@@ -822,6 +837,9 @@ class KernelQTensor0:
     permuted space; K padded to a multiple of 128 lanes):
       wq:    uint8 [N_pad // r, K_pad]  per-group chunk-split packed codes of
                                         the row-PERMUTED weight W' [N, K]
+                                        (chunk_major: rows ordered c·NG + gi
+                                        instead of gi·step + c — see section
+                                        comment)
       scale: [N_pad // g, K_pad]        dequant scale (multiplicative)
       zs:    [N_pad // g, K_pad]        zero · scale
     """
@@ -835,6 +853,7 @@ class KernelQTensor0:
     group_size: int = struct.field(pytree_node=False, default=64)
     shape: tuple = struct.field(pytree_node=False, default=())  # (N, K) logical
     compute_dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
+    chunk_major: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def k(self) -> int:  # in_features
@@ -898,7 +917,12 @@ def to_kernel_layout_ax0(qt: QTensor, meta_dtype=jnp.float32) -> KernelQTensor0:
         scale_pk = jnp.pad(scale_pk, ((0, 0), (0, k_pad - k)))
         zero_pk = jnp.pad(zero_pk, ((0, 0), (0, k_pad - k)))
 
-    wq = _pack_kernel_layout(codes_nk, g, cb)  # groups run along dim 0
+    r = 8 // cb
+    chunk_major = r > 1 and (g // r) < 8
+    if chunk_major:
+        wq = _pack_kernel_layout_ax0_cm(codes_nk, g, cb)
+    else:
+        wq = _pack_kernel_layout(codes_nk, g, cb)  # groups run along dim 0
     return KernelQTensor0(
         wq=wq,
         scale=scale_pk.astype(meta_dtype),
@@ -908,7 +932,27 @@ def to_kernel_layout_ax0(qt: QTensor, meta_dtype=jnp.float32) -> KernelQTensor0:
         group_size=g,
         shape=(n_out, k),
         compute_dtype=qt.compute_dtype,
+        chunk_major=chunk_major,
     )
+
+
+def _pack_kernel_layout_ax0_cm(codes_nk: Array, g: int, cb: int) -> Array:
+    """Chunk-position-major packing for sub-8-sublane-step configs.
+
+    codes_nk [N_pad, K] (groups = contiguous row blocks of g) → packed
+    [step·NG, K] where packed row c·NG + gi ORs logical rows gi·g + j·step + c
+    over chunks j (step = g // r, NG = N_pad // g). The in-kernel unpack of
+    any packed-row tile is then pure full-tile shift/mask — no sub-tile
+    interleave (see section comment)."""
+    n_pad, k = codes_nk.shape
+    r = 8 // cb
+    step = g // r
+    ng = n_pad // g
+    c4 = codes_nk.reshape(ng, r, step, k).astype(jnp.uint8)
+    packed = c4[:, 0] << (cb * (r - 1))
+    for j in range(1, r):
+        packed = packed | (c4[:, j] << (cb * (r - 1 - j)))
+    return packed.transpose(1, 0, 2).reshape(step * ng, k)
 
 
 def _qmm_ax0_kernel(xt_ref, wq_ref, scale_ref, zs_ref, out_ref, acc_ref, *, g, cb, out_dtype):
@@ -1004,6 +1048,119 @@ def _qmm_ax0_call(
     return out
 
 
+def _qmm_ax0_cm_kernel(
+    xt_ref, wq_ref, scale_ref, zs_ref, out_ref, acc_ref, *, g, cb, f_rep, out_dtype
+):
+    """Chunk-major tile: packed rows stay full-tile 2-D through shift/mask;
+    scale/zs expand by concat-repeat (row p → scale[p mod NG] = its group);
+    chunk j dots into accumulator slice [j·TNR, (j+1)·TNR)."""
+    kidx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kidx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    r = 8 // cb
+    mask = (1 << cb) - 1
+    p = wq_ref[:].astype(jnp.int32)  # [TNR, TK]
+    tnr = p.shape[0]
+    if f_rep > 1:
+        s_rep = pltpu.repeat(scale_ref[:], f_rep, axis=0)
+        zs_rep = pltpu.repeat(zs_ref[:], f_rep, axis=0)
+    else:
+        s_rep = scale_ref[:]
+        zs_rep = zs_ref[:]
+
+    for j in range(r):
+        cj = (p >> (cb * (r - 1 - j))) & mask
+        wj = cj.astype(jnp.float32) * s_rep - zs_rep
+        acc_ref[j * tnr : (j + 1) * tnr] += jax.lax.dot_general(
+            wj.astype(xt_ref.dtype),
+            xt_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kidx == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("container_bits", "group_size", "n_pad", "k_pad", "interpret"),
+)
+def _qmm_ax0_cm_call(
+    xt: Array,  # [K_pad, M_pad]
+    wq: Array,  # [step*NG, K_pad] chunk-major
+    scale: Array,
+    zs: Array,
+    *,
+    container_bits: int,
+    group_size: int,
+    n_pad: int,
+    k_pad: int,
+    interpret: bool = False,
+) -> Array:
+    g, cb = group_size, container_bits
+    r = 8 // cb
+    step = g // r
+    ng = n_pad // g  # multiple of 8 (N padded to 8·g)
+    m_pad = xt.shape[1]
+
+    # Tile = f chunk-positions × gblk groups of packed rows (TNR = f·gblk).
+    # Either all groups fit one tile (f ≥ 1 positions, concat-repeat f) or a
+    # tile is one position × a divisor-slice of groups (f = 1, direct block).
+    target = 1024
+    if ng <= target:
+        gblk = ng
+        f = 1
+        for cand in range(step, 0, -1):
+            if step % cand == 0 and cand * ng <= target:
+                f = cand
+                break
+    else:
+        gblk = _pick_tile_ax0(ng, 8, target)
+        f = 1
+    tnr = f * gblk
+    tk = _pick_tile_ax0(k_pad, 128, 1024)
+    n_tiles = (step // f) * (ng // gblk)
+    ngb = ng // gblk
+
+    grid = (n_tiles, 1, k_pad // tk)
+    out = pl.pallas_call(
+        functools.partial(
+            _qmm_ax0_cm_kernel, g=g, cb=cb, f_rep=tnr // gblk, out_dtype=xt.dtype
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tk, m_pad), lambda i, j, kk: (kk, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tnr, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gblk, tk), lambda i, j, kk: (i % ngb, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gblk, tk), lambda i, j, kk: (i % ngb, kk), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r * tnr, m_pad), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), xt.dtype),
+        scratch_shapes=[pltpu.VMEM((r * tnr, m_pad), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n_pad * k_pad,
+            bytes_accessed=(
+                m_pad * k_pad * xt.dtype.itemsize
+                + wq.size
+                + scale.size * scale.dtype.itemsize * 2
+                + m_pad * n_pad * xt.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xt, wq, scale, zs)
+    # Rows arrive as (c_blk, g_blk, j, c', gi'); permuted-space row is
+    # (g_blk·gblk + gi')·g + j·step + c_blk·f + c' — pure reshape/transpose.
+    o6 = out.reshape(step // f, ngb, r, f, gblk, m_pad)
+    return o6.transpose(1, 4, 2, 0, 3, 5).reshape(n_pad, m_pad)
+
+
 def _unpermute_ax0(y_perm: Array, n_out: int, g: int) -> Array:
     """[..., N_pad] permuted-space outputs -> [..., N] logical order:
     y[..., a·P + b] = y'[..., b·g + a]. Pure reshape/transpose — no gather."""
@@ -1031,7 +1188,8 @@ def _quant_matmul_pallas_ax0(
     m_pad = _round_up(m, 8)
     xt = jnp.zeros((k_pad, m_pad), x2.dtype).at[:, :m].set(x2.T)
 
-    out_t = _qmm_ax0_call(
+    call = _qmm_ax0_cm_call if kqt.chunk_major else _qmm_ax0_call
+    out_t = call(
         xt,
         kqt.wq,
         kqt.scale,
@@ -1053,10 +1211,20 @@ def _dequant_pallas_ax0(kqt: KernelQTensor0, interpret: Optional[bool] = None) -
         interpret = _auto_interpret()
     n_out, k = kqt.shape
     n_pad = kqt.wq.shape[0] * kqt.r
+    wq = kqt.wq
+    if kqt.chunk_major:
+        # un-shuffle chunk-position-major rows (c·NG + gi) back to the
+        # group-major order (gi·step + c) the shared dequant kernel expects —
+        # dequant is a cold path, the transpose is one-time
+        g, r = kqt.group_size, kqt.r
+        step = g // r
+        ng = n_pad // g
+        kp = wq.shape[1]
+        wq = wq.reshape(step, ng, kp).transpose(1, 0, 2).reshape(step * ng, kp)
     # reuse the axis=1 dequant kernel: its row-grouped unpack/affine is
     # exactly this layout's (groups along dim 0 of a [rows, lanes] matrix)
     w_perm = _dq_call(
-        kqt.wq,
+        wq,
         kqt.scale,
         kqt.zs,
         container_bits=kqt.container_bits,
