@@ -18,6 +18,7 @@ axon tunnel) and runs the whole decode loop on device (lax.scan) so per-call
 dispatch overhead is amortized.
 """
 
+import gc
 import json
 import os
 import sys
@@ -140,13 +141,19 @@ def measure_kernels() -> dict:
                          jnp.bfloat16)
         w8 = jnp.stack([jnp.asarray(np.round(w_np * 100).astype(np.int8))] * L)
 
+        def feed(x, y):  # fold y back into x regardless of n vs k
+            mm = min(k, y.shape[-1])
+            upd = jnp.pad(y[:, :mm].astype(jnp.float32) * 1e-6,
+                          ((0, 0), (0, k - mm)))
+            return (x + upd).astype(x.dtype)
+
         def int8_step(w, x):
             xf = x.astype(jnp.float32)
             sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
             x8 = jnp.round(xf / jnp.maximum(sx, 1e-8)).astype(jnp.int8)
             acc = jax.lax.dot_general(x8, w, (((1,), (1,)), ((), ())),
                                       preferred_element_type=jnp.int32)
-            return (x + (acc.astype(jnp.float32) * sx)[:, :k] * 1e-6).astype(x.dtype)
+            return feed(x, acc.astype(jnp.float32) * sx)
 
         t8 = time_scan(int8_step, w8, x1, iters=4)
         del w8
@@ -162,7 +169,7 @@ def measure_kernels() -> dict:
         bytes_q = kqt.wq.size + kqt.scale.size * 4 + kqt.zs.size * 4
 
         def a8_step(w, x):
-            return (x + quant_matmul_pallas_a8(x, w)[:, :k] * 1e-6).astype(x.dtype)
+            return feed(x, quant_matmul_pallas_a8(x, w))
 
         t = time_scan(a8_step, stacked, x1, iters=4)
         del stacked
@@ -226,24 +233,32 @@ def measure_ax0() -> dict:
 
 def measure_engines(cfg, params) -> dict:
     """Steady-state serving throughput through BOTH engines on the already-
-    built w4a8 model (docs/SERVING.md's 354 / 239 tok/s figures): first run
-    pays compile, the timed second run is the steady state."""
+    built w4a8 model (docs/SERVING.md's measured figures): first run pays
+    compile, the timed second run is the steady state. One full wave of
+    batch_slots requests decoding 128 tokens each — scheduler transitions
+    (prefill splices, slot retirement) stay a small fraction of the run.
+
+    Engines are freed eagerly (their jitted bound methods form ref cycles
+    that only gc.collect() breaks — without it the KV pools + executables
+    stay pinned in HBM and starve later bench sections)."""
     from hqq_tpu.serving.batching import ContinuousBatchingEngine
     from hqq_tpu.serving.paged import PagedBatchingEngine
 
     out = {}
-    prompts = [[7 + i, 23, 45, 11, 9 + i] for i in range(12)]
+    prompts = [[7 + i, 23, 45, 11, 9 + i] for i in range(8)]
 
     def run_timed(eng):
         for p in prompts:
-            eng.add_request(p, max_new_tokens=64)
+            eng.add_request(p, max_new_tokens=128)
         eng.run()  # compile + warm
         for p in prompts:
-            eng.add_request(p, max_new_tokens=64)
+            eng.add_request(p, max_new_tokens=128)
         t0 = time.time()
-        outs = eng.run()
+        eng.run()
         dt = time.time() - t0
-        return round(12 * 64 / dt, 1)
+        del eng
+        gc.collect()
+        return round(8 * 128 / dt, 1)
 
     out["dense_engine_tok_s"] = run_timed(ContinuousBatchingEngine(
         params, cfg, batch_slots=8, max_len=256, horizon=16
@@ -255,6 +270,31 @@ def measure_engines(cfg, params) -> dict:
     print(f"# engines: dense {out['dense_engine_tok_s']} tok/s, "
           f"paged {out['paged_engine_tok_s']} tok/s", file=sys.stderr)
     return out
+
+
+def measure_quantize_rate() -> float:
+    """On-device quantization throughput in Mparams/s (jit + vmap over a
+    layer stack, full HQQ proximal solver) — the reference's headline
+    "quantize the largest models in just a few minutes" claim
+    (`/root/reference/Readme.md:7`), made measurable: 70B ≈ 7e10 / rate."""
+    import functools
+    from hqq_tpu.core.quantize import quantize
+
+    L, n, k = 4, 4096, 11008
+    ws = jax.random.normal(jax.random.PRNGKey(0), (L, n, k), jnp.float32) / 20
+    qfn = jax.jit(jax.vmap(functools.partial(
+        quantize, nbits=4, group_size=64, axis=1, round_zero=True, optimize=True
+    )))
+    jax.block_until_ready(qfn(ws).wq)  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(qfn(ws).wq)
+        best = min(best, time.time() - t0)
+    rate = L * n * k / best / 1e6
+    print(f"# quantize rate: {rate:.0f} Mparams/s "
+          f"(7B in ~{6.7e9 / (rate * 1e6):.1f}s of device time)", file=sys.stderr)
+    return round(rate, 1)
 
 
 def main():
@@ -346,6 +386,7 @@ def main():
             print(f"# engine steady-state failed: {e!r}", file=sys.stderr)
     if params is not None:
         del params
+    gc.collect()
 
     # ---- int8 requant path (2x the memory; prefill champion) ----
     try:
@@ -361,6 +402,7 @@ def main():
             params = build("pallas")
             tok_s = measure_decode(params, batch=1)
             del params
+    gc.collect()
 
     # ---- kernel-level ceilings (7B + 13B shapes) ----
     if on_tpu:
@@ -368,6 +410,7 @@ def main():
             extra["kernels"] = measure_kernels()
         except Exception as e:  # noqa: BLE001
             print(f"# kernel section failed: {e!r}", file=sys.stderr)
+        gc.collect()
 
     # ---- axis=0 quality-mode kernels (BASELINE config 3) ----
     if on_tpu:
@@ -375,6 +418,15 @@ def main():
             extra["ax0"] = measure_ax0()
         except Exception as e:  # noqa: BLE001
             print(f"# ax0 section failed: {e!r}", file=sys.stderr)
+        gc.collect()
+
+    # ---- quantization throughput (the reference's headline claim) ----
+    if on_tpu:
+        try:
+            extra["quantize_mparams_s"] = measure_quantize_rate()
+        except Exception as e:  # noqa: BLE001
+            print(f"# quantize-rate section failed: {e!r}", file=sys.stderr)
+        gc.collect()
 
     # ---- 13B w4a8: the half-memory path's raison d'etre (13B on ONE v5e) ----
     if on_tpu:

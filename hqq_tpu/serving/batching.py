@@ -110,6 +110,18 @@ class ContinuousBatchingEngine:
         self._horizon_jit = jax.jit(self._decode_horizon_impl_lora,
                                     static_argnames=("steps",))
 
+    def close(self):
+        """Release device state promptly. The jitted step functions wrap
+        bound methods, so the engine sits in a reference cycle that only a
+        full gc pass breaks — until then the KV cache, compiled executables,
+        and params stay pinned in HBM. Dropping the jit wrappers and device
+        state frees everything at refcount zero. Call when replacing or
+        discarding an engine; idempotent."""
+        for attr in ("_prefill_jit", "_decode_jit", "_horizon_jit"):
+            self.__dict__.pop(attr, None)
+        self.cache = None
+        self.params = None
+
     # -- jitted kernels ------------------------------------------------------
     def _prefill_impl(self, params, tokens, mini_cache, adapter_ids, *, t_pad):
         from ..nn.multilora import adapter_context

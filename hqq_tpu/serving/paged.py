@@ -210,6 +210,16 @@ class PagedBatchingEngine:
         self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("t_pad",))
         self._load_prefix_jit = jax.jit(self._load_prefix_impl)
 
+    def close(self):
+        """Release device state promptly (page pool, executables, params) —
+        see `ContinuousBatchingEngine.close` for why the jit wrappers must
+        be dropped explicitly. Idempotent."""
+        for attr in ("_decode_jit", "_horizon_jit", "_prefill_jit",
+                     "_load_prefix_jit"):
+            self.__dict__.pop(attr, None)
+        self.cache = None
+        self.params = None
+
     # -- jitted kernels ------------------------------------------------------
     def _prefill_impl(self, params, tokens, mini_cache, start_pos, *, t_pad):
         return self._fwd(params, tokens, mini_cache, start_pos)

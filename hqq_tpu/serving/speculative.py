@@ -260,6 +260,15 @@ class SpeculativeBatchingEngine:
             lambda p, tk, c: self._dfwd(p, tk, c, 0)
         )
 
+    def close(self):
+        """Release device state promptly (see `ContinuousBatchingEngine.close`).
+        Cascades to the inner dense engine. Idempotent."""
+        for attr in ("_spec_jit", "_dprefill_jit", "_dfwd"):
+            self.__dict__.pop(attr, None)
+        self.dcache = None
+        self.draft_params = None
+        self._eng.close()
+
     # passthroughs ---------------------------------------------------------
     def add_request(self, prompt_ids, max_new_tokens: int = 128) -> int:
         return self._eng.add_request(prompt_ids, max_new_tokens)
@@ -421,6 +430,15 @@ class SpeculativePagedEngine:
         assert self.k >= 2
         self._spec_jit = jax.jit(self._spec_step_impl)
         self._dprefill_jit = jax.jit(lambda p, tk, c: self._dfwd(p, tk, c, 0))
+
+    def close(self):
+        """Release device state promptly (see `ContinuousBatchingEngine.close`).
+        Cascades to the inner paged engine. Idempotent."""
+        for attr in ("_spec_jit", "_dprefill_jit", "_dfwd"):
+            self.__dict__.pop(attr, None)
+        self.dcache = None
+        self.draft_params = None
+        self._eng.close()
 
     # passthroughs ---------------------------------------------------------
     def add_request(self, prompt_ids, max_new_tokens: int = 128) -> int:

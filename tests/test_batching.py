@@ -271,3 +271,60 @@ def test_dense_engine_quantized_kv_horizon(model):
     u1 = eng1.add_request([3, 17, 29, 5], max_new_tokens=9)
     uh = engh.add_request([3, 17, 29, 5], max_new_tokens=9)
     assert eng1.run()[u1] == engh.run()[uh]
+
+
+def test_close_releases_engine_without_gc(model):
+    """`close()` must break the jit-wrapper reference cycle so the engine
+    (KV cache, params ref, executables) frees at refcount zero — without it
+    a discarded engine pins its HBM until a full gc pass happens to run
+    (measured as bench OOMs on the real chip)."""
+    import weakref
+
+    cfg, params = model
+    eng = ContinuousBatchingEngine(
+        params, cfg, batch_slots=2, max_len=64, cache_dtype=jnp.float32
+    )
+    uid = eng.add_request([1, 7, 3], max_new_tokens=4)
+    assert len(eng.run()[uid]) == 4
+
+    ref = weakref.ref(eng)
+    del eng
+    assert ref() is not None  # the cycle keeps it alive: close() is needed
+
+    eng2 = ref()
+    eng2.close()
+    eng2.close()  # idempotent
+    assert eng2.cache is None and eng2.params is None
+    del eng2
+    assert ref() is None, "engine still alive after close() + del (cycle?)"
+
+
+def test_close_paged_and_speculative(model):
+    import weakref
+
+    from hqq_tpu.serving.paged import PagedBatchingEngine
+    from hqq_tpu.serving.speculative import SpeculativePagedEngine
+
+    cfg, params = model
+    eng = PagedBatchingEngine(
+        params, cfg, batch_slots=2, num_pages=16, page_size=4,
+        max_pages_per_seq=4, cache_dtype=jnp.float32,
+    )
+    uid = eng.add_request([1, 7, 3], max_new_tokens=4)
+    assert len(eng.run()[uid]) == 4
+    ref = weakref.ref(eng)
+    eng.close()
+    del eng
+    assert ref() is None
+
+    spec = SpeculativePagedEngine(
+        params, params, cfg, k_draft=2, batch_slots=2, num_pages=16,
+        page_size=4, max_pages_per_seq=4, cache_dtype=jnp.float32,
+    )
+    uid = spec.add_request([1, 7, 3], max_new_tokens=4)
+    assert len(spec.run()[uid]) == 4
+    inner = weakref.ref(spec._eng)
+    ref = weakref.ref(spec)
+    spec.close()
+    del spec
+    assert ref() is None and inner() is None

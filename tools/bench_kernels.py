@@ -119,7 +119,8 @@ def section_13b():
             acc = jax.lax.dot_general(x8, w, (((1,), (1,)), ((), ())),
                                       preferred_element_type=jnp.int32)
             y = acc.astype(jnp.float32) * sx
-            return (x + y[:, :K] * 1e-6).astype(x.dtype)
+            mm = min(K, y.shape[-1])
+            return (x + jnp.pad(y[:, :mm] * 1e-6, ((0, 0), (0, K - mm)))).astype(x.dtype)
 
         t8 = time_scan(int8_step, w8, x1)
         bytes8 = N * K
@@ -138,8 +139,9 @@ def section_13b():
         bytes_q = kqt.wq.size + kqt.scale.size * 4 + kqt.zs.size * 4
 
         def a8_step(w, x):
-            y = quant_matmul_pallas_a8(x, w)
-            return (x + y[:, :K] * 1e-6).astype(x.dtype)
+            y = quant_matmul_pallas_a8(x, w).astype(jnp.float32)
+            mm = min(K, y.shape[-1])
+            return (x + jnp.pad(y[:, :mm] * 1e-6, ((0, 0), (0, K - mm)))).astype(x.dtype)
 
         t = time_scan(a8_step, stacked, x1)
         print(f"  w4a8 4b g64 pad{pad_groups} M=1: {t*1e6:.1f} us, "
