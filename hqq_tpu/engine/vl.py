@@ -22,23 +22,32 @@ import jax.numpy as jnp
 
 from ..core.quantize import BaseQuantizeConfig
 from ..models import base as model_base
-from ..models import llama, qwen2_vl
+from ..models import llama, llava, qwen2_vl
 
 __all__ = ["HQQVLModel", "AutoHQQVLModel"]
 
-_VL_REGISTRY = {"qwen2_vl": qwen2_vl}
+_VL_REGISTRY = {"qwen2_vl": qwen2_vl, "llava": llava}
+
+# vision-tree leaves that stay fp under quantize_model, per architecture
+_VISION_FP = {
+    "qwen2_vl": ("patch_embed", "merger_fc1", "merger_fc2"),
+    "llava": llava.VISION_FP_TAGS,
+}
 
 
-def _cfg_to_dict(cfg: qwen2_vl.Qwen2VLConfig) -> dict:
+def _cfg_to_dict(cfg) -> dict:
     return dataclasses.asdict(cfg)
 
 
-def _cfg_from_dict(d: dict) -> qwen2_vl.Qwen2VLConfig:
+def _cfg_from_dict(d: dict, model_type: str):
     # JSON round-trips tuples to lists; LlamaConfig.__post_init__
     # canonicalizes rope_scaling (its only nested field) from a list
     text = llama.LlamaConfig(**d["text"])
-    vision = qwen2_vl.VisionConfig(**d["vision"])
     rest = {k: v for k, v in d.items() if k not in ("text", "vision")}
+    if model_type == "llava":
+        vision = llava.ClipVisionConfig(**d["vision"])
+        return llava.LlavaConfig(text=text, vision=vision, **rest)
+    vision = qwen2_vl.VisionConfig(**d["vision"])
     if "mrope_section" in rest:
         rest["mrope_section"] = tuple(rest["mrope_section"])
     return qwen2_vl.Qwen2VLConfig(text=text, vision=vision, **rest)
@@ -46,10 +55,11 @@ def _cfg_from_dict(d: dict) -> qwen2_vl.Qwen2VLConfig:
 
 @dataclasses.dataclass
 class HQQVLModel:
-    """params = {"text": ..., "vision": ...} functional trees."""
+    """params = {"text": ..., "vision": ...} functional trees (for llava the
+    vision tree also carries the projector)."""
 
     params: Any
-    cfg: qwen2_vl.Qwen2VLConfig
+    cfg: Any
     model_type: str = "qwen2_vl"
     quantized: bool = False
 
@@ -71,7 +81,7 @@ class HQQVLModel:
             ),
             "vision": model_base.quantize_model(
                 self.params["vision"], vision_config or qc, compute_dtype,
-                ignore=("patch_embed", "merger_fc1", "merger_fc2"),
+                ignore=_VISION_FP[self.model_type],
             ),
         }
         self.quantized = True
@@ -104,9 +114,13 @@ class HQQVLModel:
         )
 
     # -- inference ----------------------------------------------------------
-    def encode_images(self, pixel_values, grid_thw):
-        """[sum(t*h*w), patch_dim] patch rows -> merged vision embeddings
-        [n_tokens, text_hidden]."""
+    def encode_images(self, pixel_values, grid_thw=None):
+        """Vision embeddings [n_tokens, text_hidden]: qwen2_vl takes
+        [sum(t*h*w), patch_dim] patch rows + grid_thw; llava takes
+        [B, C, H, W] pixels."""
+        if self.model_type == "llava":
+            out = llava.vision_forward(self.params["vision"], self.cfg, pixel_values)
+            return out.reshape(-1, self.cfg.text.hidden_size)
         return qwen2_vl.vision_forward(
             self.params["vision"], self.cfg.vision, pixel_values, grid_thw
         )
@@ -124,38 +138,59 @@ class HQQVLModel:
         max_len: Optional[int] = None,
     ) -> list:
         """Image-conditioned generation for ONE sequence: vision encode ->
-        splice over `image_token_id` placeholders -> M-RoPE prefill ->
-        KV-cached decode. Text-only when `pixel_values` is None."""
+        splice over image placeholders -> prefill (M-RoPE for qwen2_vl,
+        sequential RoPE for llava) -> KV-cached decode. Text-only when
+        `pixel_values` is None."""
         cfg = self.cfg
+        is_llava = self.model_type == "llava"
         toks = np.asarray(input_ids).reshape(1, -1)
         t0 = toks.shape[1]
         text = self.params["text"]
         dtype = text["norm"].dtype
         n = max_len or 1 << int(np.ceil(np.log2(t0 + max_new_tokens + 1)))
-        cache = qwen2_vl.init_cache(cfg.text, 1, n, dtype)
+        cache = llama.init_cache(cfg.text, 1, n, dtype)
 
         if pixel_values is not None:
             img = self.encode_images(pixel_values, grid_thw)
-            embeds = qwen2_vl.embed_multimodal(
-                text, cfg, jnp.asarray(toks, jnp.int32), img
+            if is_llava:
+                embeds = llava.embed_multimodal(
+                    self.params, cfg, jnp.asarray(toks, jnp.int32), img
+                )
+                logits, cache = llama.forward(
+                    text, cfg.text, None, cache, 0, inputs_embeds=embeds
+                )
+                mp = t0
+            else:
+                embeds = qwen2_vl.embed_multimodal(
+                    text, cfg, jnp.asarray(toks, jnp.int32), img
+                )
+                pos = qwen2_vl.get_mrope_positions(cfg, toks[0], grid_thw)
+                logits, cache = qwen2_vl.forward(
+                    text, cfg, None, cache, 0,
+                    position_ids=jnp.asarray(pos), inputs_embeds=embeds,
+                )
+                mp = int(pos.max()) + 1
+        elif is_llava:
+            logits, cache = llama.forward(
+                text, cfg.text, jnp.asarray(toks, jnp.int32), cache, 0
             )
-            pos = qwen2_vl.get_mrope_positions(cfg, toks[0], grid_thw)
-            logits, cache = qwen2_vl.forward(
-                text, cfg, None, cache, 0,
-                position_ids=jnp.asarray(pos), inputs_embeds=embeds,
-            )
-            mp = int(pos.max()) + 1
+            mp = t0
         else:
             logits, cache = qwen2_vl.forward(
                 text, cfg, jnp.asarray(toks, jnp.int32), cache, 0
             )
             mp = t0
 
-        step = jax.jit(
-            lambda p, t, c, s, pid: qwen2_vl.forward(
-                p, cfg, t, c, s, position_ids=pid
+        if is_llava:
+            step = jax.jit(
+                lambda p, t, c, s, pid: llama.forward(p, cfg.text, t, c, s)
             )
-        )
+        else:
+            step = jax.jit(
+                lambda p, t, c, s, pid: qwen2_vl.forward(
+                    p, cfg, t, c, s, position_ids=pid
+                )
+            )
         key = jax.random.PRNGKey(seed)
 
         def pick(lg, key):
@@ -198,7 +233,8 @@ class AutoHQQVLModel:
             f"available: {list(_VL_REGISTRY)}"
         )
         mod = _VL_REGISTRY[model_type]
-        cfg = mod.Qwen2VLConfig.from_hf(hf_cfg)
+        cfg_cls = llava.LlavaConfig if model_type == "llava" else mod.Qwen2VLConfig
+        cfg = cfg_cls.from_hf(hf_cfg)
         state: dict = {}
         for shard in hf_loader._iter_hf_shards(model_dir):
             state.update(shard)
@@ -213,7 +249,9 @@ class AutoHQQVLModel:
         params, config = model_base.from_quantized(save_dir)
         return HQQVLModel(
             params=params,
-            cfg=_cfg_from_dict(config["vl_config"]),
+            cfg=_cfg_from_dict(
+                config["vl_config"], config.get("model_type", "qwen2_vl")
+            ),
             model_type=config.get("model_type", "qwen2_vl"),
             quantized=True,
         )

@@ -712,6 +712,11 @@ def quant_matmul_pallas_a8(
     )
     if m == 1 and k_arr % (32 * g) == 0:
         out = _qmm_a8_decode_call(x8, kqt.wq, kqt.scale, kqt.zs, s=32, meff=1, **common)
+    elif m == 1 and k_arr % (16 * g) == 0:
+        # K divisible by 16 groups but not 32 (13B's 5120-wide projections):
+        # s=16 class replication halves the K-grid vs the s=8/meff=8 path and
+        # measured ~6% faster at 5120x13824 M=1 (tools/kernel_lab_a8.py)
+        out = _qmm_a8_decode_call(x8, kqt.wq, kqt.scale, kqt.zs, s=16, meff=1, **common)
     elif k_arr % (8 * g) == 0:
         out = _qmm_a8_decode_call(
             x8, kqt.wq, kqt.scale, kqt.zs, s=8, meff=_round_up(m, 8), **common

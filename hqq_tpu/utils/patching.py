@@ -134,11 +134,31 @@ def _concat_linears(layers):
         )
         if not same:
             return None
+        n_fused = sum(kq.n for kq in kqts)
+        # Re-pad the fused N to a 512-lane multiple when cheap (≤ 1/16 extra
+        # bytes): guarantees the decode kernel an N-tile ≥ 512. Without it an
+        # awkward width (llama gate_up: 22016 = 128·172) degrades
+        # `_pick_tile_n` to small tiles and the grid goes
+        # overhead-dominated — measured 16% slower at the unfused 11008
+        # shape (tools/kernel_lab_padn.py). Padded columns carry
+        # codes=0 / scale=1 / zs=0 (dequantize to exactly 0) and the kernel
+        # slices outputs to the logical `shape[1]`.
+        n_512 = -(-n_fused // 512) * 512
+        pad_n = n_512 - n_fused if (n_512 - n_fused) * 16 <= n_fused else 0
         fused_kqt = k0.replace(
-            wq=jnp.concatenate([kq.wq for kq in kqts], axis=1),
-            scale=jnp.concatenate([kq.scale for kq in kqts], axis=1),
-            zs=jnp.concatenate([kq.zs for kq in kqts], axis=1),
-            shape=(k0.k, sum(kq.n for kq in kqts)),
+            wq=jnp.pad(
+                jnp.concatenate([kq.wq for kq in kqts], axis=1),
+                ((0, 0), (0, pad_n)),
+            ),
+            scale=jnp.pad(
+                jnp.concatenate([kq.scale for kq in kqts], axis=1),
+                ((0, 0), (0, pad_n)), constant_values=1.0,
+            ),
+            zs=jnp.pad(
+                jnp.concatenate([kq.zs for kq in kqts], axis=1),
+                ((0, 0), (0, pad_n)),
+            ),
+            shape=(k0.k, n_fused),
         )
         biases = [l.bias for l in layers]
         bias = None

@@ -33,7 +33,8 @@ def _make(n_out, k, g, nbits, pad_k_groups=8, seed=0):
     "m,n_out,k,g,nbits,pad_k",
     [
         (1, 256, 2048, 64, 4, 32),   # M=1 route (k % 32g == 0)
-        (1, 256, 512, 64, 4, 8),     # M=1 but k % 32g != 0 -> S=8 route
+        (1, 256, 1024, 64, 4, 8),    # M=1, k % 16g == 0 only -> S=16 route
+        (1, 256, 512, 64, 4, 8),     # M=1 but k % 16g != 0 -> S=8 route
         (8, 256, 512, 64, 4, 8),     # M<=32 route
         (8, 384, 1024, 128, 4, 8),
         (8, 256, 512, 64, 2, 8),     # 2-bit container
