@@ -263,9 +263,12 @@ def measure_engines(cfg, params) -> dict:
     out["dense_engine_tok_s"] = run_timed(ContinuousBatchingEngine(
         params, cfg, batch_slots=8, max_len=256, horizon=16
     ))
+    # ps32/h16: measured best on v5e (237 tok/s at ps16/h8 -> 276 at ps32/h16;
+    # ps16/h16 = 251 — page reads amortize over bigger contiguous chunks and
+    # horizon matches the dense engine's dispatch amortization)
     out["paged_engine_tok_s"] = run_timed(PagedBatchingEngine(
-        params, cfg, batch_slots=8, num_pages=192, page_size=16,
-        max_pages_per_seq=16, horizon=8,
+        params, cfg, batch_slots=8, num_pages=96, page_size=32,
+        max_pages_per_seq=8, horizon=16,
     ))
     print(f"# engines: dense {out['dense_engine_tok_s']} tok/s, "
           f"paged {out['paged_engine_tok_s']} tok/s", file=sys.stderr)

@@ -48,6 +48,9 @@ class Request:
     slot: Optional[int] = None
     done: bool = False
     adapter_id: int = 0  # multi-LoRA: which adapter serves this request
+    # multimodal: prompt embeddings [T, D] (image features already spliced
+    # over placeholder ids) — prefill runs on these instead of token ids
+    embeds: Optional[np.ndarray] = None
 
 
 class ContinuousBatchingEngine:
@@ -64,6 +67,7 @@ class ContinuousBatchingEngine:
         temperature: float = 0.6,
         cache_dtype=jnp.bfloat16,
         forward_fn: Optional[Callable] = None,
+        embeds_forward_fn: Optional[Callable] = None,
         seed: int = 0,
         horizon: int = 1,
         quantize_kv: bool = False,
@@ -79,6 +83,14 @@ class ContinuousBatchingEngine:
         self.temperature = temperature
         self._fwd = forward_fn or (
             lambda p, toks, cache, pos: llama.forward(p, cfg, toks, cache, pos)
+        )
+        # multimodal prefill: forward over inputs_embeds (VL serving — the
+        # vLLM role for LLaVA/Qwen2-VL checkpoints). Families whose forward
+        # takes inputs_embeds work out of the box; others pass a custom fn.
+        self._efwd = embeds_forward_fn or (
+            lambda p, e, cache, pos: llama.forward(
+                p, cfg, None, cache, pos, inputs_embeds=e
+            )
         )
 
         # quantize_kv: int8 KV pools with per-row scales — half the KV bytes
@@ -106,6 +118,9 @@ class ContinuousBatchingEngine:
         # identical to horizon=1.
         self.horizon = max(1, int(horizon))
         self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("t_pad",))
+        self._prefill_embeds_jit = jax.jit(
+            self._prefill_embeds_impl, static_argnames=("t_pad",)
+        )
         self._decode_jit = jax.jit(self._decode_impl_lora)
         self._horizon_jit = jax.jit(self._decode_horizon_impl_lora,
                                     static_argnames=("steps",))
@@ -117,7 +132,8 @@ class ContinuousBatchingEngine:
         and params stay pinned in HBM. Dropping the jit wrappers and device
         state frees everything at refcount zero. Call when replacing or
         discarding an engine; idempotent."""
-        for attr in ("_prefill_jit", "_decode_jit", "_horizon_jit"):
+        for attr in ("_prefill_jit", "_prefill_embeds_jit", "_decode_jit",
+                     "_horizon_jit", "_efwd", "_fwd"):
             self.__dict__.pop(attr, None)
         self.cache = None
         self.params = None
@@ -128,6 +144,13 @@ class ContinuousBatchingEngine:
 
         with adapter_context(adapter_ids):
             logits, mini_cache = self._fwd(params, tokens, mini_cache, 0)
+        return logits, mini_cache
+
+    def _prefill_embeds_impl(self, params, embeds, mini_cache, adapter_ids, *, t_pad):
+        from ..nn.multilora import adapter_context
+
+        with adapter_context(adapter_ids):
+            logits, mini_cache = self._efwd(params, embeds, mini_cache, 0)
         return logits, mini_cache
 
     def _decode_impl(self, params, tokens, cache, pos, live, key):
@@ -175,7 +198,10 @@ class ContinuousBatchingEngine:
 
     # -- public API -----------------------------------------------------------
     def add_request(self, prompt_ids, max_new_tokens: int = 128,
-                    adapter_id: int = 0) -> int:
+                    adapter_id: int = 0, inputs_embeds=None) -> int:
+        """`inputs_embeds` [T, D]: multimodal prompt embeddings (vision
+        features already spliced over placeholder ids) — prefill runs on
+        these; decode proceeds on sampled token ids as usual (VL serving)."""
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         t_pad = next_power_of_2(max(len(prompt), 2))
         if t_pad + max_new_tokens > self.max_len:
@@ -183,12 +209,19 @@ class ContinuousBatchingEngine:
                 f"prompt ({len(prompt)} tokens, padded {t_pad}) + "
                 f"max_new_tokens ({max_new_tokens}) exceeds max_len={self.max_len}"
             )
+        if inputs_embeds is not None:
+            inputs_embeds = np.asarray(inputs_embeds)
+            assert inputs_embeds.ndim == 2 and inputs_embeds.shape[0] == len(prompt), (
+                f"inputs_embeds must be [len(prompt)={len(prompt)}, D], "
+                f"got {inputs_embeds.shape}"
+            )
         self._uid += 1
         req = Request(
             uid=self._uid,
             prompt=prompt,
             max_new_tokens=max_new_tokens,
             adapter_id=int(adapter_id),
+            embeds=inputs_embeds,
         )
         self.queue.append(req)
         return req.uid
@@ -205,10 +238,19 @@ class ContinuousBatchingEngine:
         # the first sampled token are unaffected by KV quantization — same
         # split as the paged engine); rows quantize at the splice
         mini = llama.init_cache(self.cfg, 1, self.max_len, self._cache_dtype)
-        logits, mini = self._prefill_jit(
-            self.params, jnp.asarray(prompt), mini,
-            jnp.asarray([req.adapter_id], jnp.int32), t_pad=t_pad,
-        )
+        if req.embeds is not None:
+            d = req.embeds.shape[1]
+            emb = np.zeros((1, t_pad, d), req.embeds.dtype)
+            emb[0, :t] = req.embeds
+            logits, mini = self._prefill_embeds_jit(
+                self.params, jnp.asarray(emb), mini,
+                jnp.asarray([req.adapter_id], jnp.int32), t_pad=t_pad,
+            )
+        else:
+            logits, mini = self._prefill_jit(
+                self.params, jnp.asarray(prompt), mini,
+                jnp.asarray([req.adapter_id], jnp.int32), t_pad=t_pad,
+            )
         # splice the mini-cache into this slot's rows
         at = (0, slot, 0, 0, 0)
         if self.cache.quantized:

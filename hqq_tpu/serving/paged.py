@@ -129,6 +129,7 @@ class PagedBatchingEngine:
         seed: int = 0,
         horizon: int = 1,
         forward_fn=None,
+        embeds_forward_fn=None,
         enable_prefix_cache: bool = False,
         prefill_chunk: "int | None" = None,
     ):
@@ -155,6 +156,13 @@ class PagedBatchingEngine:
         self._fwd = forward_fn or (
             lambda p, toks, cache, pos, ptab=None: llama.forward(
                 p, cfg, toks, cache, pos, page_indices=ptab
+            )
+        )
+        # multimodal prefill over inputs_embeds (VL serving); families whose
+        # forward takes inputs_embeds work out of the box
+        self._efwd = embeds_forward_fn or (
+            lambda p, e, cache, pos: llama.forward(
+                p, cfg, None, cache, pos, inputs_embeds=e
             )
         )
         self.s = batch_slots
@@ -208,6 +216,9 @@ class PagedBatchingEngine:
         self._decode_jit = jax.jit(self._decode_impl)
         self._horizon_jit = jax.jit(self._decode_horizon_impl, static_argnames=("steps",))
         self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("t_pad",))
+        self._prefill_embeds_jit = jax.jit(
+            self._prefill_embeds_impl, static_argnames=("t_pad",)
+        )
         self._load_prefix_jit = jax.jit(self._load_prefix_impl)
 
     def close(self):
@@ -215,7 +226,8 @@ class PagedBatchingEngine:
         see `ContinuousBatchingEngine.close` for why the jit wrappers must
         be dropped explicitly. Idempotent."""
         for attr in ("_decode_jit", "_horizon_jit", "_prefill_jit",
-                     "_load_prefix_jit"):
+                     "_prefill_embeds_jit", "_load_prefix_jit",
+                     "_efwd", "_fwd"):
             self.__dict__.pop(attr, None)
         self.cache = None
         self.params = None
@@ -223,6 +235,9 @@ class PagedBatchingEngine:
     # -- jitted kernels ------------------------------------------------------
     def _prefill_impl(self, params, tokens, mini_cache, start_pos, *, t_pad):
         return self._fwd(params, tokens, mini_cache, start_pos)
+
+    def _prefill_embeds_impl(self, params, embeds, mini_cache, start_pos, *, t_pad):
+        return self._efwd(params, embeds, mini_cache, start_pos)
 
     def _load_prefix_impl(self, mini, cache, pages):
         """Gather cached prefix pages into the dense mini-cache rows
@@ -272,7 +287,12 @@ class PagedBatchingEngine:
         return toks, cache, key
 
     # -- host-side scheduling --------------------------------------------------
-    def add_request(self, prompt_ids, max_new_tokens: int = 128) -> int:
+    def add_request(self, prompt_ids, max_new_tokens: int = 128,
+                    inputs_embeds=None) -> int:
+        """`inputs_embeds` [T, D]: multimodal prompt embeddings (VL serving).
+        Embeds requests bypass the prefix cache — page keys hash TOKEN
+        content, and image placeholders repeat the same id, so two requests
+        with different images would alias — and prefill unchunked."""
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         t_pad = next_power_of_2(max(len(prompt), 2))
         need = -(-(len(prompt) + max_new_tokens) // self.pg)
@@ -281,9 +301,16 @@ class PagedBatchingEngine:
                 f"request needs {need} pages (> max_pages_per_seq={self.mp}); "
                 f"raise max_pages_per_seq or shorten prompt/max_new_tokens"
             )
+        if inputs_embeds is not None:
+            inputs_embeds = np.asarray(inputs_embeds)
+            assert inputs_embeds.ndim == 2 and inputs_embeds.shape[0] == len(prompt), (
+                f"inputs_embeds must be [len(prompt)={len(prompt)}, D], "
+                f"got {inputs_embeds.shape}"
+            )
         self._uid += 1
         self.queue.append(
-            Request(uid=self._uid, prompt=prompt, max_new_tokens=max_new_tokens)
+            Request(uid=self._uid, prompt=prompt, max_new_tokens=max_new_tokens,
+                    embeds=inputs_embeds)
         )
         return self._uid
 
@@ -338,10 +365,13 @@ class PagedBatchingEngine:
         need = self._pages_needed(req)
         t = len(req.prompt)
 
-        # longest cached page-aligned prefix (contiguous leading hits only)
+        # longest cached page-aligned prefix (contiguous leading hits only).
+        # Embeds (multimodal) requests never use the prefix cache: keys hash
+        # token content, and repeated image-placeholder ids would alias
+        # requests carrying different images.
         shared: List[int] = []
         keys: list = []
-        if self._prefix_cache is not None:
+        if self._prefix_cache is not None and req.embeds is None:
             keys = self._prefix_keys(req.prompt)
             for j, key in enumerate(keys):
                 page = self._prefix_cache.get(key)
@@ -376,7 +406,8 @@ class PagedBatchingEngine:
                 mini, self.cache, jnp.asarray(shared, jnp.int32)
             )
 
-        if self.prefill_chunk is not None and t_suf > self.prefill_chunk:
+        if (self.prefill_chunk is not None and t_suf > self.prefill_chunk
+                and req.embeds is None):
             # chunked prefill: one chunk per step(), interleaved with decode.
             # The block table stays zeroed (scratch page) until activation so
             # other slots' masked dead writes can't touch these pages.
@@ -388,12 +419,21 @@ class PagedBatchingEngine:
             self._advance_prefill(slot)  # first chunk now
             return
 
-        suffix = np.zeros((1, t_pad_total), np.int32)
-        suffix[0, :t_suf] = req.prompt[s0:]
-        logits, mini = self._prefill_jit(
-            self.params, jnp.asarray(suffix), mini, jnp.asarray(s0, jnp.int32),
-            t_pad=t_pad_total,
-        )
+        if req.embeds is not None:
+            d = req.embeds.shape[1]
+            emb = np.zeros((1, t_pad_total, d), req.embeds.dtype)
+            emb[0, :t_suf] = req.embeds[s0:]
+            logits, mini = self._prefill_embeds_jit(
+                self.params, jnp.asarray(emb), mini, jnp.asarray(s0, jnp.int32),
+                t_pad=t_pad_total,
+            )
+        else:
+            suffix = np.zeros((1, t_pad_total), np.int32)
+            suffix[0, :t_suf] = req.prompt[s0:]
+            logits, mini = self._prefill_jit(
+                self.params, jnp.asarray(suffix), mini, jnp.asarray(s0, jnp.int32),
+                t_pad=t_pad_total,
+            )
         self._finish_prefill(slot, req, mini, logits, t_suf - 1, t, s0,
                              pages, pages_new, keys, n_shared)
 
