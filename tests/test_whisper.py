@@ -114,3 +114,68 @@ def test_whisper_quantize_per_tower(tiny):
     rel = np.abs(np.asarray(lq) - np.asarray(lf)).mean() / (
         np.abs(np.asarray(lf)).mean() + 1e-9)
     assert rel < 0.5, rel
+
+
+def test_whisper_engine_quantize_save_load_transcribe(tiny, tmp_path):
+    """Engine facade: per-tower quantize -> save -> load -> transcribe
+    equality (≙ the reference's whisper example workflow)."""
+    from hqq_tpu.engine.whisper import AutoHQQWhisperModel, HQQWhisperModel
+
+    cfg, params = tiny
+    rng = np.random.default_rng(5)
+    mel = rng.standard_normal((1, cfg.num_mel_bins, 40)).astype(np.float32)
+
+    m = HQQWhisperModel(params=params, cfg=cfg).quantize_model(
+        BaseQuantizeConfig(nbits=4, group_size=16),
+        encoder_config=BaseQuantizeConfig(nbits=8, group_size=16),
+        compute_dtype=jnp.float32,
+    )
+    ref = m.transcribe(mel, forced_ids=[1, 2], max_new_tokens=6)
+    assert len(ref) == 6
+
+    m.save_quantized(str(tmp_path / "whisper"))
+    loaded = AutoHQQWhisperModel.from_quantized(str(tmp_path / "whisper"))
+    assert loaded.cfg == cfg
+    got = loaded.transcribe(mel, forced_ids=[1, 2], max_new_tokens=6)
+    assert got == ref
+
+
+def test_whisper_engine_from_pretrained_hf_dir(tmp_path):
+    """from_pretrained on an HF-format whisper dir matches direct mapping."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import json
+    import safetensors.torch as st
+
+    hf_cfg = transformers.WhisperConfig(
+        vocab_size=128, num_mel_bins=16, d_model=32,
+        encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=24, max_target_positions=24,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=1,
+    )
+    torch.manual_seed(0)
+    hf = transformers.WhisperForConditionalGeneration(hf_cfg).eval().float()
+    d = tmp_path / "hf_whisper"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(hf_cfg.to_dict()))
+    st.save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+                  if k != "proj_out.weight"},  # tied to embed_tokens
+                 str(d / "model.safetensors"))
+
+    from hqq_tpu.engine.whisper import AutoHQQWhisperModel
+
+    m = AutoHQQWhisperModel.from_pretrained(str(d))
+    rng = np.random.default_rng(0)
+    # HF requires mel frames == max_source_positions * 2 (conv stride)
+    mel = rng.standard_normal((1, 16, 48)).astype(np.float32)
+    toks = np.array([[3, 7, 11]], np.int64)
+    with torch.no_grad():
+        ref = hf(input_features=torch.from_numpy(mel),
+                 decoder_input_ids=torch.from_numpy(toks)).logits.numpy()
+    ours = np.asarray(whisper.forward(
+        m.params, m.cfg, jnp.asarray(mel), jnp.asarray(toks, jnp.int32)
+    ))
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
