@@ -285,14 +285,18 @@ def measure_quantize_rate() -> float:
 
     L, n, k = 4, 4096, 11008
     ws = jax.random.normal(jax.random.PRNGKey(0), (L, n, k), jnp.float32) / 20
-    qfn = jax.jit(jax.vmap(functools.partial(
+    vq = jax.vmap(functools.partial(
         quantize, nbits=4, group_size=64, axis=1, round_zero=True, optimize=True
-    )))
-    jax.block_until_ready(qfn(ws).wq)  # compile
+    ))
+    # reduce to a scalar INSIDE jit and sync via np.asarray —
+    # block_until_ready is unreliable over the axon tunnel and wq is ~90 MB
+    # (fetching it would time the tunnel, not the solver); see CLAUDE.md
+    qfn = jax.jit(lambda w: vq(w).wq.astype(jnp.int32).sum())
+    np.asarray(qfn(ws))  # compile
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        jax.block_until_ready(qfn(ws).wq)
+        np.asarray(qfn(ws))
         best = min(best, time.time() - t0)
     rate = L * n * k / best / 1e6
     print(f"# quantize rate: {rate:.0f} Mparams/s "

@@ -25,7 +25,8 @@ cfg = llava.LlavaConfig.tiny()
 params = llava.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
 
 # quantize the language model (vision tower + projector stay fp, like the
-# reference's LLaVA config); 4-bit g64 axis=1 is the speed mode
+# reference's LLaVA config). The tiny demo dims force group_size=32; on a
+# real checkpoint use the speed mode BaseQuantizeConfig(nbits=4, group_size=64)
 params = {**params, "text": model_base.quantize_model(
     params["text"], BaseQuantizeConfig(nbits=4, group_size=32),
     compute_dtype=jnp.float32,

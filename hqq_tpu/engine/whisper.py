@@ -11,6 +11,7 @@ follow."""
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 from typing import Any, Optional
@@ -24,6 +25,17 @@ from ..models import base as model_base
 from ..models import whisper
 
 __all__ = ["HQQWhisperModel", "AutoHQQWhisperModel"]
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_step_jit(cfg: whisper.WhisperConfig):
+    """One jitted decode step per config — a fresh jax.jit(lambda) inside
+    transcribe() would re-trace and re-compile on EVERY call (new function
+    identity defeats the jit cache); WhisperConfig is frozen/hashable so the
+    step compiles once per config across calls and instances."""
+    return jax.jit(
+        lambda p, t, cr, c, s: whisper.decode(p, cfg, t, cr, c, start_pos=s)
+    )
 
 
 @dataclasses.dataclass
@@ -100,9 +112,7 @@ class HQQWhisperModel:
         logits, cache = whisper.decode(
             self.params, cfg, jnp.asarray(toks), cross, cache, start_pos=0
         )
-        step = jax.jit(
-            lambda p, t, cr, c, s: whisper.decode(p, cfg, t, cr, c, start_pos=s)
-        )
+        step = _decode_step_jit(cfg)
         out = [int(jnp.argmax(logits[0, t0 - 1]))]
         pos = t0
         for _ in range(max_new_tokens - 1):

@@ -57,6 +57,7 @@ class ClipVisionConfig:
     patch_size: int = 14
     num_channels: int = 3
     layer_norm_eps: float = 1e-5
+    hidden_act: str = "quick_gelu"
 
     @property
     def num_patches(self) -> int:
@@ -77,6 +78,7 @@ class ClipVisionConfig:
             patch_size=hf.get("patch_size", 14),
             num_channels=hf.get("num_channels", 3),
             layer_norm_eps=hf.get("layer_norm_eps", 1e-5),
+            hidden_act=hf.get("hidden_act", "quick_gelu"),
         )
 
 
@@ -123,6 +125,14 @@ class LlavaConfig:
 
 def _quick_gelu(x: Array) -> Array:
     return x * jax.nn.sigmoid(1.702 * x)
+
+
+_VISION_ACTS = {
+    "quick_gelu": _quick_gelu,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+}
 
 
 def _layer_norm(x: Array, p: dict, eps: float) -> Array:
@@ -178,11 +188,12 @@ def vision_forward(params: dict, cfg: LlavaConfig, pixels: Array) -> Array:
 
     fl = cfg.vision_feature_layer
     n_run = vc.num_hidden_layers + 1 + fl if fl < 0 else fl
+    act = _VISION_ACTS[vc.hidden_act]
     for layer in vp["layers"][:n_run]:
         h = _layer_norm(x, layer["layer_norm1"], vc.layer_norm_eps)
         x = x + _vision_attention(layer, vc, h)
         h = _layer_norm(x, layer["layer_norm2"], vc.layer_norm_eps)
-        x = x + layer["fc2"](_quick_gelu(layer["fc1"](h)))
+        x = x + layer["fc2"](act(layer["fc1"](h)))
 
     if cfg.vision_feature_select_strategy == "default":
         x = x[:, 1:]  # drop CLS
@@ -206,6 +217,16 @@ def embed_multimodal(
     b, t, d = x.shape
     flat = x.reshape(b * t, d)
     is_img = (tokens == cfg.image_token_index).reshape(-1)
+    try:  # host-side check when tokens are concrete (all engine/gen paths):
+        n_ph = int(np.asarray(is_img).sum())
+        assert n_ph == image_embeds.shape[0], (
+            f"prompt has {n_ph} image placeholders but image_embeds carries "
+            f"{image_embeds.shape[0]} rows (HF raises 'Image features and "
+            f"image tokens do not match' here; a silent nonzero-pad scatter "
+            f"would corrupt token 0)"
+        )
+    except jax.errors.TracerArrayConversionError:
+        pass  # traced tokens: sizes must be guaranteed by the caller
     dest = jnp.nonzero(is_img, size=image_embeds.shape[0])[0]
     flat = flat.at[dest].set(image_embeds.astype(flat.dtype))
     return flat.reshape(b, t, d)

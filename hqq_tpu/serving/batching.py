@@ -240,10 +240,13 @@ class ContinuousBatchingEngine:
         mini = llama.init_cache(self.cfg, 1, self.max_len, self._cache_dtype)
         if req.embeds is not None:
             d = req.embeds.shape[1]
-            emb = np.zeros((1, t_pad, d), req.embeds.dtype)
+            # cast to the cache dtype: mixed-dtype activations would fail the
+            # in-place KV update (cache bf16 vs fp32 embeds)
+            emb = np.zeros((1, t_pad, d), np.float32)
             emb[0, :t] = req.embeds
+            emb = jnp.asarray(emb, self._cache_dtype)
             logits, mini = self._prefill_embeds_jit(
-                self.params, jnp.asarray(emb), mini,
+                self.params, emb, mini,
                 jnp.asarray([req.adapter_id], jnp.int32), t_pad=t_pad,
             )
         else:

@@ -421,11 +421,13 @@ class PagedBatchingEngine:
 
         if req.embeds is not None:
             d = req.embeds.shape[1]
-            emb = np.zeros((1, t_pad_total, d), req.embeds.dtype)
+            # cast to the mini-cache dtype (same reason as the dense engine:
+            # the in-place KV update requires matching dtypes)
+            emb = np.zeros((1, t_pad_total, d), np.float32)
             emb[0, :t_suf] = req.embeds[s0:]
             logits, mini = self._prefill_embeds_jit(
-                self.params, jnp.asarray(emb), mini, jnp.asarray(s0, jnp.int32),
-                t_pad=t_pad_total,
+                self.params, jnp.asarray(emb, self._mini_dtype), mini,
+                jnp.asarray(s0, jnp.int32), t_pad=t_pad_total,
             )
         else:
             suffix = np.zeros((1, t_pad_total), np.int32)

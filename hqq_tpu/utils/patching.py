@@ -113,11 +113,14 @@ def prepare_for_inference(params: Any, backend="pallas", verbose: bool = False) 
     return out
 
 
-def _concat_linears(layers):
+def _concat_linears(layers, pad_to: int = 512):
     """Concatenate linear-like layers along the output dimension.
 
     Supports Int8QuantLinear (w8/sw rows concat) and plain Linear; returns
-    None if the group is heterogeneous or unsupported."""
+    None if the group is heterogeneous or unsupported. `pad_to`: the A8
+    (w4a8) fused width is re-padded to this lane multiple when <= 1/16 extra
+    bytes (0 disables) — same knob `fuse_for_decode` applies to int8 layers
+    via `pad_for_mxu`."""
     from ..backends.int8_backend import Int8QuantLinear
     from ..backends.pallas_backend import A8QuantLinear
     from ..nn.linear import Linear
@@ -143,8 +146,8 @@ def _concat_linears(layers):
         # shape (tools/kernel_lab_padn.py). Padded columns carry
         # codes=0 / scale=1 / zs=0 (dequantize to exactly 0) and the kernel
         # slices outputs to the logical `shape[1]`.
-        n_512 = -(-n_fused // 512) * 512
-        pad_n = n_512 - n_fused if (n_512 - n_fused) * 16 <= n_fused else 0
+        n_al = -(-n_fused // pad_to) * pad_to if pad_to else n_fused
+        pad_n = n_al - n_fused if (n_al - n_fused) * 16 <= n_fused else 0
         fused_kqt = k0.replace(
             wq=jnp.pad(
                 jnp.concatenate([kq.wq for kq in kqts], axis=1),
@@ -216,14 +219,18 @@ def fuse_for_decode(params: Any, pad_to: int = 512) -> Any:
         if isinstance(sa, dict) and "q_norm_flat" in sa:
             return out  # olmo2-style flat-projection norms: can't fuse qkv
         if isinstance(sa, dict) and all(k in sa for k in ("q_proj", "k_proj", "v_proj")):
-            fused = _concat_linears([sa["q_proj"], sa["k_proj"], sa["v_proj"]])
+            fused = _concat_linears(
+                [sa["q_proj"], sa["k_proj"], sa["v_proj"]], pad_to=pad_to
+            )
             if fused is not None:
                 sa = {k: v for k, v in sa.items() if k not in ("q_proj", "k_proj", "v_proj")}
                 sa["qkv_proj"] = fused
             out["self_attn"] = sa
         mlp = layer.get("mlp")
         if isinstance(mlp, dict) and all(k in mlp for k in ("gate_proj", "up_proj")):
-            fused = _concat_linears([mlp["gate_proj"], mlp["up_proj"]])
+            fused = _concat_linears(
+                [mlp["gate_proj"], mlp["up_proj"]], pad_to=pad_to
+            )
             if fused is not None:
                 mlp = {k: v for k, v in mlp.items() if k not in ("gate_proj", "up_proj")}
                 mlp["gate_up_proj"] = fused

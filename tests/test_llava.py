@@ -188,7 +188,12 @@ def test_vl_engine_generate_with_image():
     toks, px = _image_prompt(m.cfg)
     out = m.generate(toks, pixel_values=px, max_new_tokens=5)
     assert len(out) == 5 and all(isinstance(t, int) for t in out)
-    # image conditioning must change the continuation vs text-only
+    # image conditioning must change the continuation: a different image on
+    # the SAME prompt must not reproduce the same generation (catches a
+    # regression where encode/splice becomes a no-op)
+    _, px2 = _image_prompt(m.cfg, seed=9)
+    out2 = m.generate(toks, pixel_values=px2, max_new_tokens=5)
+    assert out2 != out
     text_only = m.generate([5, 9, 7], max_new_tokens=5)
     assert len(text_only) == 5
 

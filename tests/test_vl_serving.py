@@ -119,3 +119,33 @@ def test_embeds_shape_validation(model):
     with pytest.raises(AssertionError):
         eng.add_request([1, 2, 3], max_new_tokens=4,
                         inputs_embeds=np.zeros((2, cfg.text.hidden_size)))
+
+
+def test_embeds_dtype_normalized():
+    """fp32 vision embeds into a bf16 model/cache engine must not crash the
+    in-place KV update (embeds are cast to the cache dtype at admission) —
+    the real-world combo: bf16-served LM, fp32 vision features."""
+    cfg = llava.LlavaConfig.tiny()
+    params = llava.init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.bfloat16)
+    text = model_base.quantize_model(
+        params["text"], BaseQuantizeConfig(nbits=4, group_size=32),
+        compute_dtype=jnp.bfloat16,
+    )
+    toks = _prompt(cfg, [7])
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal(
+        (len(toks), cfg.text.hidden_size)
+    ).astype(np.float32)  # deliberately fp32
+
+    eng = ContinuousBatchingEngine(
+        text, cfg.text, batch_slots=2, max_len=64, cache_dtype=jnp.bfloat16,
+    )
+    uid = eng.add_request(toks, max_new_tokens=4, inputs_embeds=emb)
+    assert len(eng.run()[uid]) == 4
+
+    peng = PagedBatchingEngine(
+        text, cfg.text, batch_slots=2, num_pages=32, page_size=4,
+        max_pages_per_seq=16, cache_dtype=jnp.bfloat16,
+    )
+    uid = peng.add_request(toks, max_new_tokens=4, inputs_embeds=emb)
+    assert len(peng.run()[uid]) == 4
