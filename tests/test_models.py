@@ -246,3 +246,4 @@ def test_unsupported_rope_scaling_rejected():
             "num_hidden_layers": 2, "num_attention_heads": 4,
             "rope_scaling": {"rope_type": "longrope", "factor": 4.0},
         })
+
