@@ -127,6 +127,7 @@ def measure_kernels() -> dict:
     the HBM byte roofline, and time vs the dense-int8 MXU-feed ceiling at the
     SAME shape (the int8-operand rate both paths share; w4a8 within ~1.11x of
     it == feed-bound, not byte-bound). Shapes cover 7B and 13B projections."""
+    from hqq_tpu.backends.pallas_backend import _a8_pad_k_groups
     from hqq_tpu.core.quantize import quantize
     from hqq_tpu.ops.fused_matmul import quant_matmul_pallas_a8, to_kernel_layout
     from tools.bench_kernels import time_scan
@@ -160,11 +161,9 @@ def measure_kernels() -> dict:
 
         qt = quantize(jnp.asarray(w_np), nbits=4, group_size=64, axis=1,
                       round_zero=True, compute_dtype=jnp.bfloat16)
-        g = 64
-        pad32 = -(-k // (32 * g)) * 32 * g
-        kqt = to_kernel_layout(
-            qt, pad_k_groups=32 if (pad32 - k) * 8 <= k else 8
-        )
+        # the serving backend's own padding policy — benches must measure
+        # the layout the backend actually deploys
+        kqt = to_kernel_layout(qt, pad_k_groups=_a8_pad_k_groups(qt))
         stacked = jax.tree_util.tree_map(lambda a: jnp.stack([a] * L), kqt)
         bytes_q = kqt.wq.size + kqt.scale.size * 4 + kqt.zs.size * 4
 
@@ -379,6 +378,10 @@ def main():
         params = build("w4a8")
         tok_s = measure_decode(params, batch=1)
         extra["batch8_tok_s"] = round(measure_decode(params, batch=8, reps=2), 2)
+        if on_tpu:
+            # w4a8 prefill routes M>32 through the bf16-operand kernel; the
+            # serving engines' chunked prefill pays this rate
+            extra["prefill_w4a8_tok_s"] = round(measure_prefill(params, reps=2), 1)
     except Exception as e:  # noqa: BLE001 — never lose the benchmark to a backend issue
         print(f"# w4a8 decode path failed ({e!r}); falling back to int8", file=sys.stderr)
         tok_s = None

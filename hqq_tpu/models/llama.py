@@ -631,10 +631,14 @@ def _forward_paged(
     cache,
     lengths: Array,  # [B]
     page_indices: Array,
+    mlp_fn=None,  # (layer_dict, x) -> x; MoE families inject their block
 ) -> Tuple[Array, Any]:
     """One paged step for all slots (t=1 decode; t=k speculative verify).
     Shares every architectural detail with the dense `forward` — this is the
-    cache-polymorphic branch."""
+    cache-polymorphic branch. `mlp_fn` lets llama-attention MoE families
+    (mixtral) reuse this whole walk instead of duplicating it."""
+    if mlp_fn is None:
+        mlp_fn = lambda layer, h: _mlp(layer["mlp"], h)  # noqa: E731
     toks = tokens if tokens.ndim == 2 else tokens[:, None]
     b, t = toks.shape
     x = jnp.take(params["embed_tokens"], toks, axis=0)  # [B, T, D]
@@ -648,7 +652,7 @@ def _forward_paged(
         )
         x = x + attn_out
         h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
-        x = x + _mlp(layer["mlp"], h)
+        x = x + mlp_fn(layer, h)
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     if cfg.tie_word_embeddings or "lm_head" not in params:

@@ -196,26 +196,12 @@ def forward(
 
 
 def _forward_paged(params, cfg, tokens, cache, lengths, page_indices):
-    """Paged decode step (cache polymorphism; see llama._forward_paged)."""
-    toks = tokens if tokens.ndim == 2 else tokens[:, None]
-    x = jnp.take(params["embed_tokens"], toks, axis=0)
-    _, cos, sin, _ = llama.positions_and_masks(cfg, toks.shape[1], lengths, None)
-    for i, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
-        attn_out, cache = llama._attention_paged(
-            layer["self_attn"], cfg, h, cache, i, lengths, page_indices, cos, sin,
-            window=getattr(cfg, "sliding_window", None),
-        )
-        x = x + attn_out
-        h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
-        x = x + _moe_block(layer["block_sparse_moe"], cfg, h)
-    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    if cfg.tie_word_embeddings or "lm_head" not in params:
-        logits = jnp.einsum("btd,vd->btv", x, params["embed_tokens"],
-                            preferred_element_type=jnp.float32)
-    else:
-        logits = params["lm_head"](x).astype(jnp.float32)
-    return logits, cache
+    """Paged decode step: llama's cache-polymorphic walk with the sparse-MoE
+    block injected (no duplicated forward to keep in sync)."""
+    return llama._forward_paged(
+        params, cfg, tokens, cache, lengths, page_indices,
+        mlp_fn=lambda layer, h: _moe_block(layer["block_sparse_moe"], cfg, h),
+    )
 
 
 def quantize_mixtral(

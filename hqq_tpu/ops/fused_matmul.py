@@ -1023,19 +1023,21 @@ def _qmm_ax0_call(
 
     tn = _pick_tile_ax0(n_pad, 8 * g, 2048)
     tk = _pick_tile_ax0(k_pad, 128, 1024)
-    tm = m_pad  # whole-lane output block (decode M is small; prefill fits)
+    # M is gridded (middle dim) above 256 lanes — a whole-M block at prefill
+    # lengths would blow the VMEM budget (acc is fp32 [TN, TM])
+    tm = min(m_pad, 256)
 
-    grid = (n_pad // tn, 1, k_pad // tk)
+    grid = (n_pad // tn, m_pad // tm, k_pad // tk)
     out = pl.pallas_call(
         functools.partial(_qmm_ax0_kernel, g=g, cb=cb, out_dtype=xt.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tk, tm), lambda i, j, kk: (kk, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tm), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tn // r, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((tn // g, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((tn // g, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tn, tm), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tn, tm), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), xt.dtype),
         scratch_shapes=[pltpu.VMEM((tn, tm), jnp.float32)],
         cost_estimate=pl.CostEstimate(
@@ -1132,22 +1134,23 @@ def _qmm_ax0_cm_call(
     tk = _pick_tile_ax0(k_pad, 128, 1024)
     n_tiles = (step // f) * (ng // gblk)
     ngb = ng // gblk
+    tm = min(m_pad, 256)  # M gridded above 256 lanes (VMEM, as group-major)
 
-    grid = (n_tiles, 1, k_pad // tk)
+    grid = (n_tiles, m_pad // tm, k_pad // tk)
     out = pl.pallas_call(
         functools.partial(
             _qmm_ax0_cm_kernel, g=g, cb=cb, f_rep=tnr // gblk, out_dtype=xt.dtype
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tk, m_pad), lambda i, j, kk: (kk, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tm), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tnr, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((gblk, tk), lambda i, j, kk: (i % ngb, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((gblk, tk), lambda i, j, kk: (i % ngb, kk), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((r * tnr, m_pad), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((r * tnr, tm), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), xt.dtype),
-        scratch_shapes=[pltpu.VMEM((r * tnr, m_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((r * tnr, tm), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n_pad * k_pad,
             bytes_accessed=(
@@ -1190,7 +1193,8 @@ def _quant_matmul_pallas_ax0(
     m = x2.shape[0]
     if k_pad != k:
         x2 = jnp.pad(x2, ((0, 0), (0, k_pad - k)))
-    m_pad = _round_up(m, 8)
+    # above one 256-lane M tile, pad M so the grid divides evenly
+    m_pad = _round_up(m, 8) if m <= 256 else _round_up(m, 256)
     xt = jnp.zeros((k_pad, m_pad), x2.dtype).at[:, :m].set(x2.T)
 
     call = _qmm_ax0_cm_call if kqt.chunk_major else _qmm_ax0_call

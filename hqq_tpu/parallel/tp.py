@@ -366,15 +366,19 @@ def prepare_tp_llama(
 
 
 def tp_forward_fn(mesh: Mesh, tp_specs: Any, local_cfg: LlamaConfig,
-                  forward: Any = None):
+                  forward: Any = None, quantize_kv: bool = False):
     """Build a jitted TP forward: (tp_params, tokens, cache, start_pos) ->
     (logits, cache). Cache is GLOBAL with [L, B, heads, S, hd] sharded as
     (None, "data", "model", None, None). `forward` selects the family
-    (default `llama.forward`); any forward with the llama contract works."""
+    (default `llama.forward`); any forward with the llama contract works.
+    `quantize_kv` must match the engine's cache (an int8 cache carries
+    per-row scale leaves — the spec pytree has to agree)."""
     fwd_impl = forward if forward is not None else llama.forward
+    hs = P(None, "data", "model", None, None)
     cache_spec = KVCache(
-        k=P(None, "data", "model", None, None),
-        v=P(None, "data", "model", None, None),
+        k=hs, v=hs,
+        k_scales=hs if quantize_kv else None,
+        v_scales=hs if quantize_kv else None,
     )
 
     def body(params, tokens, cache, start_pos):
@@ -458,7 +462,16 @@ def tp_serving_forward_fn(mesh: Mesh, tp_specs: Any, local_cfg: LlamaConfig,
     Use a data=1 mesh: engine batch slots stay host-side."""
     from ..ops.paged import PagedKVCache
 
+    # Two dense variants: the paged engine's prefill mini-cache is ALWAYS
+    # float (rows quantize at the page splice), while the dense engine's
+    # main cache carries int8 scale leaves under quantize_kv — the shard_map
+    # spec pytree must match whichever arrives, so dispatch on the cache.
     dense = tp_forward_fn(mesh, tp_specs, local_cfg, forward=forward)
+    dense_q = (
+        tp_forward_fn(mesh, tp_specs, local_cfg, forward=forward,
+                      quantize_kv=True)
+        if quantize_kv else dense
+    )
     paged = tp_paged_forward_fn(mesh, tp_specs, local_cfg,
                                 quantize_kv=quantize_kv, page_size=page_size,
                                 forward=forward)
@@ -466,6 +479,8 @@ def tp_serving_forward_fn(mesh: Mesh, tp_specs: Any, local_cfg: LlamaConfig,
     def fwd(params, tokens, cache, start_pos, page_indices=None):
         if isinstance(cache, PagedKVCache):
             return paged(params, tokens, cache, start_pos, page_indices)
+        if getattr(cache, "k_scales", None) is not None:
+            return dense_q(params, tokens, cache, start_pos)
         return dense(params, tokens, cache, start_pos)
 
     return fwd

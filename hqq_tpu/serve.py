@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
 
 def build_engine(args):
@@ -56,18 +57,32 @@ def build_engine(args):
 
         mesh = make_mesh(data=1, model=args.tp)
         backend = args.backend if args.backend in ("pallas", "w4a8") else "pallas"
+        if backend != args.backend:
+            print(f"# --tp: backend {args.backend!r} has no sharded kernel "
+                  f"path; using {backend!r}", file=sys.stderr)
         tp_params, tp_specs, local_cfg = prepare_tp(
             params, cfg, mesh, backend=backend
         )
+        # quantize_kv must match the engine's cache pytree or shard_map's
+        # in_specs disagree with the (scale-carrying) int8 cache
         fwd = tp_serving_forward_fn(
             mesh, tp_specs, local_cfg, page_size=args.page_size,
-            forward=family_fwd,
+            quantize_kv=args.int8_kv, forward=family_fwd,
         )
         return _engine_for(args, tp_params, cfg, forward_fn=fwd)
 
     params = prepare_for_inference(params, args.backend)
     if args.fuse:
         params = fuse_for_decode(params)
+    if args.engine == "paged":
+        import inspect
+
+        if "page_indices" not in inspect.signature(family_fwd).parameters:
+            # families without a paged decode branch (gpt2/bloom/falcon/...)
+            # serve on the dense-slot engine instead of crashing at prefill
+            print(f"# {type(cfg).__name__}: family forward has no paged "
+                  f"branch; falling back to --engine dense", file=sys.stderr)
+            args.engine = "dense"
     fwd = (
         lambda p, toks, cache, pos, ptab=None: family_fwd(
             p, cfg, toks, cache, pos, page_indices=ptab

@@ -147,10 +147,23 @@ class InferenceServer:
             return {"uid": uid, "tokens": list(self.engine.finished[uid].output)}
 
     def _progress(self, uid):
-        """(tokens_so_far, done) for a request — caller holds `_lock`."""
+        """(tokens_so_far, done) for a request — caller holds `_lock`.
+
+        `engine.active` is mutated by the step loop under `_step_lock` (a
+        different lock — holding it here would block for whole steps), so
+        the dict can resize mid-iteration; snapshot with a bounded retry
+        (CPython raises RuntimeError on a resized dict, never corrupts)."""
         req = self.engine.finished.get(uid)
         if req is None:
-            for r in self.engine.active.values():
+            for _ in range(8):
+                try:
+                    candidates = list(self.engine.active.values())
+                    break
+                except RuntimeError:  # dict resized mid-snapshot
+                    continue
+            else:
+                candidates = []
+            for r in candidates:
                 if r.uid == uid:
                     req = r
                     break

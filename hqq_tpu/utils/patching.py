@@ -126,10 +126,16 @@ def _concat_linears(layers, pad_to: int = 512):
     from ..nn.linear import Linear
 
     if all(isinstance(l, A8QuantLinear) for l in layers):
+        from ..ops.fused_matmul import KernelQTensor
+
         kqts = [l.kqt for l in layers]
         k0 = kqts[0]
         same = all(
-            kq.wq.shape[0] == k0.wq.shape[0]
+            # axis=1 layout ONLY: the axis=0 KernelQTensor0 stores W row-major
+            # [N, K] — concatenating its arrays along axis=1 would join K, not
+            # N, and corrupt the fused layer (axis=0 layers stay unfused)
+            isinstance(kq, KernelQTensor)
+            and kq.wq.shape[0] == k0.wq.shape[0]
             and kq.group_size == k0.group_size
             and kq.container_bits == k0.container_bits
             and kq.n == kq.wq.shape[1]  # no N padding (concat must stay contiguous)

@@ -50,6 +50,8 @@ def _make(n_out, k, g, nbits, seed=0):
         (1, 320, 512, 16, 2),      # N=320 pads to 8g=128 multiple (384)
         (1, 256, 200, 8, 4),       # K=200 pads to 256 lanes
         (5, 192, 320, 16, 3),      # both paddings + odd M
+        (300, 256, 512, 64, 4),    # M > 256: gridded M tiles (VMEM bound)
+        (300, 256, 512, 16, 2),    # M > 256 on the chunk-major layout
     ],
 )
 def test_ax0_kernel_matches_xla_dequant(m, n_out, k, g, nbits):
@@ -183,3 +185,40 @@ def test_ax0_model_serves_paged_engine():
     assert isinstance(leaf, PallasQuantLinear)
     assert leaf.kqt.__class__.__name__ == "KernelQTensor0"
     assert run(fused) == ref
+
+
+def test_ax0_layers_do_not_fuse():
+    """fuse_for_decode must NOT concat axis=0 (KernelQTensor0) layers: the
+    row-major [N, K] layout would be joined along K, producing a corrupt
+    fused qkv (reproduced crash: 'cannot reshape (1, K) into (-1, 3K)').
+    Square q/k/v pass the width checks, so the guard must be on the layout
+    class itself — and the fused model must still forward correctly."""
+    import numpy as np
+
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.models import LlamaConfig, forward, init_cache, init_params
+    from hqq_tpu.models.base import quantize_model
+    from hqq_tpu.utils.patching import fuse_for_decode, prepare_for_inference
+
+    import dataclasses
+
+    # square q/k/v (MHA) — the dangerous case where the width checks pass
+    cfg = dataclasses.replace(LlamaConfig.tiny(), num_key_value_heads=4)
+    assert cfg.num_attention_heads == cfg.num_key_value_heads
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q = quantize_model(
+        params,
+        BaseQuantizeConfig(nbits=2, group_size=16, axis=0, round_zero=False),
+        compute_dtype=jnp.float32,
+    )
+    served = prepare_for_inference(q, "w4a8")
+    fused = fuse_for_decode(served)
+    sa = fused["layers"][0]["self_attn"]
+    assert "qkv_proj" not in sa, "axis=0 layers must stay unfused"
+
+    toks = jnp.asarray([[3, 7, 5]], jnp.int32)
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    ref, _ = forward(served, cfg, toks, cache, 0)
+    cache2 = init_cache(cfg, 1, 16, jnp.float32)
+    got, _ = forward(fused, cfg, toks, cache2, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)

@@ -103,3 +103,27 @@ def test_tp_x_speculative_paged(setup):
         max_pages_per_seq=8, cache_dtype=jnp.float32,
     ))
     assert got == plain
+
+
+def test_tp_x_int8_kv_dense_engine(setup):
+    """TP × int8 KV on the DENSE engine: the quantized main cache carries
+    scale leaves, so the shard_map spec must match (serve --tp --int8-kv
+    --engine dense previously built a float-cache spec and crashed) — while
+    the paged engine's float prefill mini-cache must still dispatch to the
+    plain spec."""
+    from hqq_tpu.serving.batching import ContinuousBatchingEngine
+
+    cfg, mesh, tp_params, tp_specs, local_cfg, single_params = setup
+
+    fwd = tp_serving_forward_fn(mesh, tp_specs, local_cfg, quantize_kv=True)
+    eng = ContinuousBatchingEngine(
+        tp_params, cfg, batch_slots=2, max_len=32, cache_dtype=jnp.float32,
+        quantize_kv=True, forward_fn=fwd,
+    )
+    ref = ContinuousBatchingEngine(
+        single_params, cfg, batch_slots=2, max_len=32, cache_dtype=jnp.float32,
+        quantize_kv=True,
+    )
+    u1 = eng.add_request([3, 17, 29], max_new_tokens=6)
+    u2 = ref.add_request([3, 17, 29], max_new_tokens=6)
+    assert eng.run()[u1] == ref.run()[u2]

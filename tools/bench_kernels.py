@@ -129,11 +129,11 @@ def section_13b():
         del w8
 
         # w4a8 from true 4-bit storage (pad_k_groups chosen like the backend)
+        from hqq_tpu.backends.pallas_backend import _a8_pad_k_groups
+
         qt = quantize(jnp.asarray(w_np), nbits=4, group_size=64, axis=1,
                       round_zero=True, compute_dtype=jnp.bfloat16)
-        g = 64
-        pad32 = -(-K // (32 * g)) * 32 * g
-        pad_groups = 32 if (pad32 - K) * 8 <= K else 8
+        pad_groups = _a8_pad_k_groups(qt)
         kqt = to_kernel_layout(qt, pad_k_groups=pad_groups)
         stacked = jax.tree_util.tree_map(lambda a: jnp.stack([a] * L), kqt)
         bytes_q = kqt.wq.size + kqt.scale.size * 4 + kqt.zs.size * 4
