@@ -87,11 +87,23 @@ class ContinuousBatchingEngine:
         # multimodal prefill: forward over inputs_embeds (VL serving — the
         # vLLM role for LLaVA/Qwen2-VL checkpoints). Families whose forward
         # takes inputs_embeds work out of the box; others pass a custom fn.
-        self._efwd = embeds_forward_fn or (
-            lambda p, e, cache, pos: llama.forward(
-                p, cfg, None, cache, pos, inputs_embeds=e
+        # With a custom forward_fn (family/TP injection) the llama default
+        # would run the WRONG model on the params (e.g. unsharded forward on
+        # a TP tree) — require an explicit embeds_forward_fn then.
+        if embeds_forward_fn is None and forward_fn is not None:
+            def _no_efwd(*a, **k):
+                raise ValueError(
+                    "inputs_embeds request on an engine with a custom "
+                    "forward_fn: pass embeds_forward_fn too (the default "
+                    "llama inputs_embeds forward does not apply)"
+                )
+            self._efwd = _no_efwd
+        else:
+            self._efwd = embeds_forward_fn or (
+                lambda p, e, cache, pos: llama.forward(
+                    p, cfg, None, cache, pos, inputs_embeds=e
+                )
             )
-        )
 
         # quantize_kv: int8 KV pools with per-row scales — half the KV bytes
         # per decode step (same scheme as the paged engine's int8 pages)

@@ -160,11 +160,23 @@ class PagedBatchingEngine:
         )
         # multimodal prefill over inputs_embeds (VL serving); families whose
         # forward takes inputs_embeds work out of the box
-        self._efwd = embeds_forward_fn or (
-            lambda p, e, cache, pos: llama.forward(
-                p, cfg, None, cache, pos, inputs_embeds=e
+        # With a custom forward_fn (family/TP injection) the llama default
+        # would run the WRONG model on the params (e.g. unsharded forward on
+        # a TP tree) — require an explicit embeds_forward_fn then.
+        if embeds_forward_fn is None and forward_fn is not None:
+            def _no_efwd(*a, **k):
+                raise ValueError(
+                    "inputs_embeds request on an engine with a custom "
+                    "forward_fn: pass embeds_forward_fn too (the default "
+                    "llama inputs_embeds forward does not apply)"
+                )
+            self._efwd = _no_efwd
+        else:
+            self._efwd = embeds_forward_fn or (
+                lambda p, e, cache, pos: llama.forward(
+                    p, cfg, None, cache, pos, inputs_embeds=e
+                )
             )
-        )
         self.s = batch_slots
         self.pg = page_size
         assert max_pages_per_seq % 4 == 0, "max_pages_per_seq must be a multiple of 4"

@@ -149,3 +149,22 @@ def test_embeds_dtype_normalized():
     )
     uid = peng.add_request(toks, max_new_tokens=4, inputs_embeds=emb)
     assert len(peng.run()[uid]) == 4
+
+
+def test_embeds_require_efwd_with_custom_forward(model):
+    """An engine built with a custom forward_fn (family/TP injection) must
+    reject embeds requests unless embeds_forward_fn is also given — the
+    llama default would run the wrong model on those params."""
+    from hqq_tpu.models import llama
+
+    cfg, params = model
+    eng = ContinuousBatchingEngine(
+        params["text"], cfg.text, batch_slots=2, max_len=64,
+        cache_dtype=jnp.float32,
+        forward_fn=lambda p, t, c, s: llama.forward(p, cfg.text, t, c, s),
+    )
+    toks = _prompt(cfg, [7])
+    emb = np.zeros((len(toks), cfg.text.hidden_size), np.float32)
+    uid = eng.add_request(toks, max_new_tokens=4, inputs_embeds=emb)
+    with pytest.raises(ValueError, match="embeds_forward_fn"):
+        eng.run()
