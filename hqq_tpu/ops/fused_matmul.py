@@ -221,8 +221,10 @@ def _unpack_tile(p: Array, g: int, container_bits: int, tn: int) -> Array:
     p3 = p.reshape(n_groups, g // r, tn).astype(jnp.int32)
     if r == 1:
         return p3
-    chunks = [
-        (p3 >> (container_bits * (r - 1 - j))) & mask for j in range(r)
+    cb = container_bits
+    # top chunk needs no mask: p3 is uint8-ranged, so p3 >> (cb*(r-1)) < 2^cb
+    chunks = [p3 >> (cb * (r - 1))] + [
+        (p3 >> (cb * (r - 1 - j))) & mask for j in range(1, r)
     ]
     return jnp.concatenate(chunks, axis=1)  # [n_groups, g, TN]
 
@@ -418,7 +420,10 @@ def _unpack_tile_2d(p: Array, cb: int) -> Array:
         return p.astype(jnp.int8)
     mask = (1 << cb) - 1
     p3 = p.astype(jnp.int32)
-    chunks = [(p3 >> (cb * (r - 1 - j))) & mask for j in range(r)]
+    # top chunk needs no mask (p3 is uint8-ranged)
+    chunks = [p3 >> (cb * (r - 1))] + [
+        (p3 >> (cb * (r - 1 - j))) & mask for j in range(1, r)
+    ]
     return jnp.concatenate(chunks, axis=0).astype(jnp.int8)
 
 
@@ -1080,7 +1085,8 @@ def _qmm_ax0_cm_kernel(
         zs_rep = zs_ref[:]
 
     for j in range(r):
-        cj = (p >> (cb * (r - 1 - j))) & mask
+        # top chunk (j=0) needs no mask: p is uint8-ranged
+        cj = (p >> (cb * (r - 1))) if j == 0 else (p >> (cb * (r - 1 - j))) & mask
         wj = cj.astype(jnp.float32) * s_rep - zs_rep
         acc_ref[j * tnr : (j + 1) * tnr] += jax.lax.dot_general(
             wj.astype(xt_ref.dtype),
