@@ -420,11 +420,12 @@ def _unpack_tile_2d(p: Array, cb: int) -> Array:
         return p.astype(jnp.int8)
     mask = (1 << cb) - 1
     p3 = p.astype(jnp.int32)
-    # top chunk needs no mask (p3 is uint8-ranged)
-    chunks = [p3 >> (cb * (r - 1))] + [
-        (p3 >> (cb * (r - 1 - j))) & mask for j in range(1, r)
+    # top chunk needs no mask (p3 is uint8-ranged); cast each chunk to int8
+    # BEFORE the concat so the concat moves 4x fewer bytes through VMEM
+    chunks = [(p3 >> (cb * (r - 1))).astype(jnp.int8)] + [
+        ((p3 >> (cb * (r - 1 - j))) & mask).astype(jnp.int8) for j in range(1, r)
     ]
-    return jnp.concatenate(chunks, axis=0).astype(jnp.int8)
+    return jnp.concatenate(chunks, axis=0)
 
 
 def _qmm_a8_decode_kernel(
