@@ -26,6 +26,16 @@ def build_engine(args):
     from .utils.patching import fuse_for_decode, prepare_for_inference
 
     model_dir = args.model
+    vl_type = _detect_vl(model_dir)
+    if vl_type == "llava":
+        return _build_llava_engine(args, model_dir)
+    if vl_type:
+        raise SystemExit(
+            f"VL type {vl_type!r} serves through the Python API "
+            f"(engine.vl.AutoHQQVLModel — M-RoPE decode needs per-request "
+            f"positions the CLI engines don't carry); only llava (plain "
+            f"RoPE) serves via the CLI"
+        )
     if os.path.exists(os.path.join(model_dir, "hqq_config.json")):
         # native hqq_tpu quantized checkpoint
         model = HQQModelForCausalLM.from_quantized(model_dir)
@@ -93,7 +103,87 @@ def build_engine(args):
     return _engine_for(args, params, cfg, forward_fn=fwd)
 
 
+def _detect_vl(model_dir: str):
+    """VL model_type of a checkpoint dir ('llava' / 'qwen2_vl'), else None.
+    Covers HF fp dirs (config.json) and hqq_tpu quantized saves
+    (hqq_config.json carries model_type)."""
+    for name in ("hqq_config.json", "config.json"):
+        path = os.path.join(model_dir, name)
+        if os.path.exists(path):
+            with open(path) as f:
+                conf = json.load(f)
+            # hqq checkpoints nest the user config under "config"
+            mt = conf.get("config", conf).get("model_type") or conf.get("model_type")
+            return mt if mt in ("llava", "qwen2_vl") else None
+    return None
+
+
+def _build_llava_engine(args, model_dir):
+    """Serve a LLaVA checkpoint: quantized language model through the
+    batching engine + an `embedder` the HTTP server calls for multimodal
+    requests (pixel_values -> CLIP tower -> projector -> placeholder splice).
+    ≙ vLLM serving a VLM (`/root/reference/examples/vllm_qwenvl.py` role)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .core.quantize import BaseQuantizeConfig
+    from .engine.vl import AutoHQQVLModel
+    from .models import llava
+    from .utils.patching import fuse_for_decode, prepare_for_inference
+
+    if os.path.exists(os.path.join(model_dir, "hqq_config.json")):
+        m = AutoHQQVLModel.from_quantized(model_dir)
+    else:
+        m = AutoHQQVLModel.from_pretrained(model_dir).quantize_model(
+            BaseQuantizeConfig(nbits=args.nbits, group_size=args.group_size)
+        )
+    cfg = m.cfg
+    text = prepare_for_inference(m.params["text"], args.backend)
+    if args.fuse:
+        text = fuse_for_decode(text)
+    vision_tree = m.params["vision"]  # {"vision", "projector"} (fp)
+
+    def embedder(prompt_ids, vl_inputs):
+        px = jnp.asarray(np.asarray(vl_inputs["pixel_values"], np.float32))
+        img = llava.vision_forward(vision_tree, cfg, px).reshape(
+            -1, cfg.text.hidden_size
+        )
+        toks = jnp.asarray([list(prompt_ids)], jnp.int32)
+        full = {"text": text, **vision_tree}
+        emb = llava.embed_multimodal(full, cfg, toks, img)
+        return np.asarray(emb[0])
+
+    eng = _engine_for(args, text, cfg.text)
+    eng._vl_embedder = embedder  # picked up by main() for the server
+    return eng
+
+
+def _infer_cache_dtype(params):
+    """The KV cache dtype must match the model's ACTIVATION dtype (the
+    in-place cache update requires equal dtypes), which is set by the
+    quantized layers' compute_dtype — not by fp leaves like norms. Walk the
+    tree for the first layer that carries one; bf16 otherwise."""
+    import jax.numpy as jnp
+
+    stack = [params]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, dict):
+            stack.extend(node.values())
+            continue
+        if isinstance(node, (list, tuple)):
+            stack.extend(node)
+            continue
+        for holder in (node, getattr(node, "kqt", None),
+                       getattr(node, "qweight", None)):
+            cd = getattr(holder, "compute_dtype", None)
+            if cd is not None:
+                return cd
+    return jnp.bfloat16
+
+
 def _engine_for(args, params, cfg, forward_fn=None):
+    cache_dtype = _infer_cache_dtype(params)
     if args.engine == "paged":
         from .serving.paged import PagedBatchingEngine
 
@@ -103,6 +193,7 @@ def _engine_for(args, params, cfg, forward_fn=None):
             eos_token_id=args.eos, do_sample=args.sample, horizon=args.horizon,
             quantize_kv=args.int8_kv, enable_prefix_cache=args.prefix_cache,
             prefill_chunk=args.prefill_chunk, forward_fn=forward_fn,
+            cache_dtype=cache_dtype,
         )
     from .serving.batching import ContinuousBatchingEngine
 
@@ -110,6 +201,7 @@ def _engine_for(args, params, cfg, forward_fn=None):
         params, cfg, batch_slots=args.slots, max_len=args.max_len,
         eos_token_id=args.eos, do_sample=args.sample, horizon=args.horizon,
         quantize_kv=args.int8_kv, forward_fn=forward_fn,
+        cache_dtype=cache_dtype,
     )
 
 
@@ -156,7 +248,8 @@ def main(argv=None, serve: bool = True):
     from .serving.server import InferenceServer
 
     srv = InferenceServer(engine, host=args.host, port=args.port,
-                          tokenizer=tokenizer)
+                          tokenizer=tokenizer,
+                          embedder=getattr(engine, "_vl_embedder", None))
     print(f"serving {args.model} [{args.backend}/{args.engine}] "
           f"on {args.host}:{srv.port}")
     if serve:  # pragma: no cover — interactive entry

@@ -35,9 +35,14 @@ __all__ = ["InferenceServer"]
 
 class InferenceServer:
     def __init__(self, engine: Any, host: str = "127.0.0.1", port: int = 8000,
-                 tokenizer: Optional[Any] = None):
+                 tokenizer: Optional[Any] = None, embedder: Optional[Any] = None):
+        """`embedder`: optional (prompt_ids, vl_inputs dict) -> [T, D]
+        inputs_embeds callable — enables multimodal requests over HTTP
+        (POST /generate with "pixel_values" [+"grid_thw"]); the engine then
+        prefills on the spliced embeddings (VL serving, the vLLM VLM role)."""
         self.engine = engine
         self.tokenizer = tokenizer
+        self.embedder = embedder
         # Lock split so a long engine.step() (seconds-to-minutes on first JIT
         # compile) never blocks /healthz or request submission:
         #   _step_lock  — serializes engine-structure mutation that must not
@@ -64,7 +69,7 @@ class InferenceServer:
                 self.end_headers()
                 self.wfile.write(body)
 
-            def _sse(self, ids, max_new_tokens):
+            def _sse(self, ids, max_new_tokens, inputs_embeds=None):
                 """Server-sent events: one `data:` line per decode progress,
                 connection-close delimited (HTTP/1.0 framing)."""
                 self.send_response(200)
@@ -72,7 +77,8 @@ class InferenceServer:
                 self.send_header("Cache-Control", "no-cache")
                 self.send_header("Connection", "close")
                 self.end_headers()
-                for event in srv.stream(ids, max_new_tokens):
+                for event in srv.stream(ids, max_new_tokens,
+                                        inputs_embeds=inputs_embeds):
                     if srv.tokenizer is not None and event.get("done"):
                         event["text"] = srv.tokenizer.decode(event["tokens"])
                     self.wfile.write(f"data: {json.dumps(event)}\n\n".encode())
@@ -103,9 +109,23 @@ class InferenceServer:
                     if not ids:
                         return self._json(400, {"error": "prompt_ids required"})
                     mnt = int(req.get("max_new_tokens", 64))
+                    embeds = None
+                    vl = {k: req[k] for k in ("pixel_values", "grid_thw")
+                          if k in req}
+                    if vl:
+                        if srv.embedder is None:
+                            return self._json(400, {
+                                "error": "multimodal request but the server "
+                                         "has no embedder (serve a VL "
+                                         "checkpoint)"})
+                        try:
+                            embeds = srv.embedder(ids, vl)
+                        except Exception as e:  # bad pixels must not kill
+                            return self._json(400, {  # the handler thread
+                                "error": f"embedder failed: {e}"})
                     if req.get("stream"):
-                        return self._sse(ids, mnt)
-                    out = srv.generate(ids, mnt)
+                        return self._sse(ids, mnt, inputs_embeds=embeds)
+                    out = srv.generate(ids, mnt, inputs_embeds=embeds)
                     resp = dict(out)
                     if srv.tokenizer is not None:
                         resp["text"] = srv.tokenizer.decode(out["tokens"])
@@ -136,12 +156,14 @@ class InferenceServer:
             else:
                 time.sleep(0.005)
 
-    def generate(self, prompt_ids, max_new_tokens: int) -> dict:
+    def generate(self, prompt_ids, max_new_tokens: int, inputs_embeds=None) -> dict:
         """Blocking submit: enqueue and wait for completion."""
+        kw = {} if inputs_embeds is None else {"inputs_embeds": inputs_embeds}
         with self._lock:
             # enqueue only (engine.add_request appends to the queue; the loop
             # thread admits it inside step) — instant even mid-step
-            uid = self.engine.add_request(prompt_ids, max_new_tokens=max_new_tokens)
+            uid = self.engine.add_request(prompt_ids, max_new_tokens=max_new_tokens,
+                                          **kw)
             while uid not in self.engine.finished:
                 self._done.wait(timeout=60.0)
             return {"uid": uid, "tokens": list(self.engine.finished[uid].output)}
@@ -170,14 +192,16 @@ class InferenceServer:
         out = list(req.output) if req is not None and req.output else []
         return out, uid in self.engine.finished
 
-    def stream(self, prompt_ids, max_new_tokens: int):
+    def stream(self, prompt_ids, max_new_tokens: int, inputs_embeds=None):
         """Incremental submit: yield {"uid", "tokens": new_tokens} as the
         engine decodes, then a final {"uid", "done": True, "tokens": all}.
         The concatenation of streamed chunks equals the blocking result.
         The lock is NOT held while a chunk is being consumed (written to a
         socket), so other requests and the step loop keep moving."""
+        kw = {} if inputs_embeds is None else {"inputs_embeds": inputs_embeds}
         with self._lock:
-            uid = self.engine.add_request(prompt_ids, max_new_tokens=max_new_tokens)
+            uid = self.engine.add_request(prompt_ids, max_new_tokens=max_new_tokens,
+                                          **kw)
         sent = 0
         while True:
             with self._lock:

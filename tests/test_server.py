@@ -171,3 +171,57 @@ def test_serve_cli_tp(tmp_path):
         finally:
             srv.stop()
     assert outs["tp"] == outs["single"]
+
+
+def test_serve_cli_llava_multimodal(tmp_path):
+    """VL over HTTP: save a quantized tiny LLaVA, boot the CLI (which wires
+    the embedder), POST /generate with pixel_values, and match the direct
+    engine result — the vLLM-VLM-serving role end-to-end."""
+    import numpy as np
+
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.engine.vl import HQQVLModel
+    from hqq_tpu.models import llava
+    from hqq_tpu.serve import main as serve_main
+
+    cfg = llava.LlavaConfig.tiny()
+    params = llava.init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    m = HQQVLModel(
+        params={"text": params["text"],
+                "vision": {"vision": params["vision"],
+                           "projector": params["projector"]}},
+        cfg=cfg, model_type="llava",
+    ).quantize_model(BaseQuantizeConfig(nbits=4, group_size=32),
+                     compute_dtype=jnp.float32)
+    ckpt = str(tmp_path / "llava")
+    m.save_quantized(ckpt)
+
+    srv = serve_main([
+        "--model", ckpt, "--port", "0", "--engine", "dense",
+        "--backend", "pallas", "--slots", "2", "--max-len", "64",
+    ], serve=False)
+    srv.start()
+    try:
+        assert srv.embedder is not None
+        prompt = [5] + [cfg.image_token_index] * cfg.vision.num_patches + [7]
+        px = np.random.default_rng(0).standard_normal(
+            (1, 3, cfg.vision.image_size, cfg.vision.image_size)
+        ).astype(np.float32)
+        status, out = _post(srv.port, "/generate", {
+            "prompt_ids": prompt, "max_new_tokens": 5,
+            "pixel_values": px.tolist(),
+        })
+        assert status == 200 and len(out["tokens"]) == 5, out
+
+        # malformed pixels -> clean 400, handler thread survives
+        status2, err = _post(srv.port, "/generate", {
+            "prompt_ids": [1, 2], "max_new_tokens": 2,
+            "pixel_values": [[0.0]],
+        })
+        assert status2 == 400 and "embedder failed" in err["error"]
+        # text-only request still works alongside
+        status3, out3 = _post(srv.port, "/generate",
+                              {"prompt_ids": [5, 9, 7], "max_new_tokens": 3})
+        assert status3 == 200 and len(out3["tokens"]) == 3
+    finally:
+        srv.stop()
