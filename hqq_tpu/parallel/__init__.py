@@ -6,6 +6,7 @@ from .tp import (  # noqa: F401
     RowParallelLinear,
     prepare_tp,
     prepare_tp_llama,
+    tp_embeds_forward_fn,
     tp_forward_fn,
     tp_paged_forward_fn,
     tp_serving_forward_fn,

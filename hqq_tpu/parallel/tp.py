@@ -484,3 +484,24 @@ def tp_serving_forward_fn(mesh: Mesh, tp_specs: Any, local_cfg: LlamaConfig,
         return dense(params, tokens, cache, start_pos)
 
     return fwd
+
+
+def tp_embeds_forward_fn(mesh: Mesh, tp_specs: Any, local_cfg: LlamaConfig,
+                         forward: Any = None):
+    """TP prefill over inputs_embeds (VL serving × TP): the engines'
+    `embeds_forward_fn` injection point. Embeddings are data-replicated
+    along the model axis like token activations; the cache spec matches the
+    float prefill mini-cache (engines quantize rows at the splice)."""
+    fwd_impl = forward if forward is not None else llama.forward
+    hs = P(None, "data", "model", None, None)
+    cache_spec = KVCache(k=hs, v=hs)
+
+    def body(params, embeds, cache, start_pos):
+        return fwd_impl(params, local_cfg, None, cache, start_pos,
+                        inputs_embeds=embeds)
+
+    return jax.jit(_shard_map(
+        body, mesh,
+        in_specs=(tp_specs, P("data", None, None), cache_spec, P()),
+        out_specs=(P("data", None, None), cache_spec),
+    ))

@@ -127,3 +127,30 @@ def test_tp_x_int8_kv_dense_engine(setup):
     u1 = eng.add_request([3, 17, 29], max_new_tokens=6)
     u2 = ref.add_request([3, 17, 29], max_new_tokens=6)
     assert eng.run()[u1] == ref.run()[u2]
+
+
+def test_tp_x_vl_embeds_requests(setup):
+    """VL serving × TP: an inputs_embeds request through a TP dense engine
+    (tp_embeds_forward_fn) is token-for-token equal to single-device."""
+    import numpy as np
+
+    from hqq_tpu.parallel import tp_embeds_forward_fn
+    from hqq_tpu.serving.batching import ContinuousBatchingEngine
+
+    cfg, mesh, tp_params, tp_specs, local_cfg, single_params = setup
+    prompt = [3, 17, 29, 5]
+    rng = np.random.default_rng(2)
+    emb = rng.standard_normal((len(prompt), cfg.hidden_size)).astype(np.float32)
+
+    fwd = tp_serving_forward_fn(mesh, tp_specs, local_cfg)
+    efwd = tp_embeds_forward_fn(mesh, tp_specs, local_cfg)
+    eng = ContinuousBatchingEngine(
+        tp_params, cfg, batch_slots=2, max_len=32, cache_dtype=jnp.float32,
+        forward_fn=fwd, embeds_forward_fn=efwd,
+    )
+    ref = ContinuousBatchingEngine(
+        single_params, cfg, batch_slots=2, max_len=32, cache_dtype=jnp.float32,
+    )
+    u1 = eng.add_request(prompt, max_new_tokens=6, inputs_embeds=emb)
+    u2 = ref.add_request(prompt, max_new_tokens=6, inputs_embeds=emb)
+    assert eng.run()[u1] == ref.run()[u2]
