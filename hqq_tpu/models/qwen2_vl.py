@@ -458,3 +458,29 @@ def params_from_hf_state_dict(state: dict, cfg: Qwen2VLConfig, dtype=jnp.bfloat1
         "merger_fc2": lin("merger.mlp.2"),
     }
     return text, vision
+
+
+def serving_forward_fns(cfg: Qwen2VLConfig):
+    """(forward_fn, embeds_forward_fn) for `ContinuousBatchingEngine(...,
+    mrope_offsets=True)` — qwen2_vl through the batching engine (the vLLM
+    role `/root/reference/examples/vllm_qwenvl.py` plays).
+
+    Decode rope runs at cache_length + per-slot offset: after the prompt all
+    three M-RoPE streams advance together, so a single scalar offset
+    (max_prompt_position + 1 - prompt_len, see `get_mrope_positions`)
+    reproduces `HQQVLModel.generate`'s positions exactly; text-only slots
+    carry offset 0 = standard RoPE."""
+
+    def fwd(params, toks, cache, pos, offs=None):
+        if offs is None:  # token prefill path (text-only prompts)
+            return forward(params, cfg, toks, cache, pos)
+        b, t = toks.shape
+        base = (pos + offs)[None, :, None] + jnp.arange(t)[None, None, :]
+        pid = jnp.broadcast_to(base, (3, b, t))
+        return forward(params, cfg, toks, cache, pos, position_ids=pid)
+
+    def efwd(params, embeds, cache, pos, position_ids):
+        return forward(params, cfg, None, cache, pos,
+                       position_ids=position_ids, inputs_embeds=embeds)
+
+    return fwd, efwd

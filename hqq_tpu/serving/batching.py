@@ -51,6 +51,10 @@ class Request:
     # multimodal: prompt embeddings [T, D] (image features already spliced
     # over placeholder ids) — prefill runs on these instead of token ids
     embeds: Optional[np.ndarray] = None
+    # M-RoPE (qwen2_vl): explicit prefill position ids [3, T] and the decode
+    # rope offset (mrope_position - token_count; 0 = standard RoPE)
+    position_ids: Optional[np.ndarray] = None
+    pos_offset: int = 0
 
 
 class ContinuousBatchingEngine:
@@ -71,6 +75,7 @@ class ContinuousBatchingEngine:
         seed: int = 0,
         horizon: int = 1,
         quantize_kv: bool = False,
+        mrope_offsets: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -113,6 +118,12 @@ class ContinuousBatchingEngine:
                                       quantize_kv=quantize_kv)
         self._key = jax.random.PRNGKey(seed)
 
+        # M-RoPE serving (qwen2_vl): per-slot decode rope offset; when the
+        # flag is set, forward_fn/embeds_forward_fn receive an extra
+        # positions argument (offsets vector / explicit [3,1,T] prefill ids)
+        self._mrope = bool(mrope_offsets)
+        self._pos_off = np.zeros((batch_slots,), np.int32)
+
         # host-side state
         self._adapter = np.zeros((batch_slots,), np.int32)
         self.queue: deque[Request] = deque()
@@ -133,6 +144,9 @@ class ContinuousBatchingEngine:
         self._prefill_embeds_jit = jax.jit(
             self._prefill_embeds_impl, static_argnames=("t_pad",)
         )
+        self._prefill_embeds_pos_jit = jax.jit(
+            self._prefill_embeds_pos_impl, static_argnames=("t_pad",)
+        )
         self._decode_jit = jax.jit(self._decode_impl_lora)
         self._horizon_jit = jax.jit(self._decode_horizon_impl_lora,
                                     static_argnames=("steps",))
@@ -144,7 +158,8 @@ class ContinuousBatchingEngine:
         and params stay pinned in HBM. Dropping the jit wrappers and device
         state frees everything at refcount zero. Call when replacing or
         discarding an engine; idempotent."""
-        for attr in ("_prefill_jit", "_prefill_embeds_jit", "_decode_jit",
+        for attr in ("_prefill_jit", "_prefill_embeds_jit",
+                     "_prefill_embeds_pos_jit", "_decode_jit",
                      "_horizon_jit", "_efwd", "_fwd"):
             self.__dict__.pop(attr, None)
         self.cache = None
@@ -165,10 +180,21 @@ class ContinuousBatchingEngine:
             logits, mini_cache = self._efwd(params, embeds, mini_cache, 0)
         return logits, mini_cache
 
-    def _decode_impl(self, params, tokens, cache, pos, live, key):
+    def _prefill_embeds_pos_impl(self, params, embeds, mini_cache, pos_ids,
+                                 adapter_ids, *, t_pad):
+        from ..nn.multilora import adapter_context
+
+        with adapter_context(adapter_ids):
+            logits, mini_cache = self._efwd(params, embeds, mini_cache, 0, pos_ids)
+        return logits, mini_cache
+
+    def _decode_impl(self, params, tokens, cache, pos, live, key, offs=None):
         """One decode step for all slots; inactive slots are computed but
         ignored (static batch)."""
-        logits, cache = self._fwd(params, tokens[:, None], cache, pos)
+        if self._mrope:
+            logits, cache = self._fwd(params, tokens[:, None], cache, pos, offs)
+        else:
+            logits, cache = self._fwd(params, tokens[:, None], cache, pos)
         key, sub = jax.random.split(key)
         nxt = sample_token(
             logits[:, -1], sub, self.do_sample, self.top_k, self.temperature,
@@ -176,18 +202,23 @@ class ContinuousBatchingEngine:
         )
         return nxt.astype(jnp.int32), cache, key
 
-    def _decode_impl_lora(self, params, tokens, cache, pos, live, key, adapter_ids):
+    def _decode_impl_lora(self, params, tokens, cache, pos, live, key,
+                          adapter_ids, offs=None):
         from ..nn.multilora import adapter_context
 
         with adapter_context(adapter_ids):
-            return self._decode_impl(params, tokens, cache, pos, live, key)
+            return self._decode_impl(params, tokens, cache, pos, live, key, offs)
 
-    def _decode_horizon_impl(self, params, tokens, cache, pos, key, *, steps):
+    def _decode_horizon_impl(self, params, tokens, cache, pos, key,
+                             offs=None, *, steps):
         """`steps` decode steps for all slots inside ONE device program."""
 
         def body(carry, _):
             tok, cache, pos, key = carry
-            logits, cache = self._fwd(params, tok[:, None], cache, pos)
+            if self._mrope:
+                logits, cache = self._fwd(params, tok[:, None], cache, pos, offs)
+            else:
+                logits, cache = self._fwd(params, tok[:, None], cache, pos)
             key, sub = jax.random.split(key)
             nxt = sample_token(
                 logits[:, -1], sub, self.do_sample, self.top_k, self.temperature,
@@ -201,19 +232,25 @@ class ContinuousBatchingEngine:
         return toks, cache, key  # toks: [steps, slots]
 
     def _decode_horizon_impl_lora(self, params, tokens, cache, pos, key,
-                                  adapter_ids, *, steps):
+                                  adapter_ids, offs=None, *, steps):
         from ..nn.multilora import adapter_context
 
         with adapter_context(adapter_ids):
             return self._decode_horizon_impl(params, tokens, cache, pos, key,
-                                             steps=steps)
+                                             offs, steps=steps)
 
     # -- public API -----------------------------------------------------------
     def add_request(self, prompt_ids, max_new_tokens: int = 128,
-                    adapter_id: int = 0, inputs_embeds=None) -> int:
+                    adapter_id: int = 0, inputs_embeds=None,
+                    position_ids=None, pos_offset: int = 0) -> int:
         """`inputs_embeds` [T, D]: multimodal prompt embeddings (vision
         features already spliced over placeholder ids) — prefill runs on
-        these; decode proceeds on sampled token ids as usual (VL serving)."""
+        these; decode proceeds on sampled token ids as usual (VL serving).
+
+        M-RoPE (qwen2_vl): `position_ids` [3, T] explicit prefill rope ids
+        and `pos_offset` (max_position + 1 - prompt_len) so decode rope runs
+        at cache_length + offset; requires the engine to be built with
+        mrope_offsets=True and an M-RoPE-aware forward_fn/embeds_forward_fn."""
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         t_pad = next_power_of_2(max(len(prompt), 2))
         if t_pad + max_new_tokens > self.max_len:
@@ -227,6 +264,13 @@ class ContinuousBatchingEngine:
                 f"inputs_embeds must be [len(prompt)={len(prompt)}, D], "
                 f"got {inputs_embeds.shape}"
             )
+        if position_ids is not None:
+            assert self._mrope, "position_ids requires mrope_offsets=True"
+            assert inputs_embeds is not None, "position_ids requires inputs_embeds"
+            position_ids = np.asarray(position_ids, np.int32).reshape(3, -1)
+            assert position_ids.shape[1] == len(prompt)
+        if pos_offset:
+            assert self._mrope, "pos_offset requires mrope_offsets=True"
         self._uid += 1
         req = Request(
             uid=self._uid,
@@ -234,6 +278,8 @@ class ContinuousBatchingEngine:
             max_new_tokens=max_new_tokens,
             adapter_id=int(adapter_id),
             embeds=inputs_embeds,
+            position_ids=position_ids,
+            pos_offset=int(pos_offset),
         )
         self.queue.append(req)
         return req.uid
@@ -250,6 +296,7 @@ class ContinuousBatchingEngine:
         # the first sampled token are unaffected by KV quantization — same
         # split as the paged engine); rows quantize at the splice
         mini = llama.init_cache(self.cfg, 1, self.max_len, self._cache_dtype)
+        self._pos_off[slot] = req.pos_offset
         if req.embeds is not None:
             d = req.embeds.shape[1]
             # cast to the cache dtype: mixed-dtype activations would fail the
@@ -257,10 +304,21 @@ class ContinuousBatchingEngine:
             emb = np.zeros((1, t_pad, d), np.float32)
             emb[0, :t] = req.embeds
             emb = jnp.asarray(emb, self._cache_dtype)
-            logits, mini = self._prefill_embeds_jit(
-                self.params, emb, mini,
-                jnp.asarray([req.adapter_id], jnp.int32), t_pad=t_pad,
-            )
+            if req.position_ids is not None:
+                # pad positions monotonically past the prompt (padded rows
+                # write masked cache rows; their rope values are irrelevant)
+                pid = np.zeros((3, 1, t_pad), np.int32)
+                pid[:, 0, :t] = req.position_ids
+                pid[:, 0, t:] = req.position_ids.max() + 1
+                logits, mini = self._prefill_embeds_pos_jit(
+                    self.params, emb, mini, jnp.asarray(pid),
+                    jnp.asarray([req.adapter_id], jnp.int32), t_pad=t_pad,
+                )
+            else:
+                logits, mini = self._prefill_embeds_jit(
+                    self.params, emb, mini,
+                    jnp.asarray([req.adapter_id], jnp.int32), t_pad=t_pad,
+                )
         else:
             logits, mini = self._prefill_jit(
                 self.params, jnp.asarray(prompt), mini,
@@ -362,6 +420,7 @@ class ContinuousBatchingEngine:
                 jnp.asarray(self._live),
                 self._key,
                 jnp.asarray(self._adapter),
+                jnp.asarray(self._pos_off) if self._mrope else None,
             )
             toks = np.asarray(nxt)[None]  # [1, slots]
         else:
@@ -372,6 +431,7 @@ class ContinuousBatchingEngine:
                 jnp.asarray(self._pos),
                 self._key,
                 jnp.asarray(self._adapter),
+                jnp.asarray(self._pos_off) if self._mrope else None,
                 steps=h,
             )
             toks = np.asarray(toks)

@@ -168,3 +168,47 @@ def test_embeds_require_efwd_with_custom_forward(model):
     uid = eng.add_request(toks, max_new_tokens=4, inputs_embeds=emb)
     with pytest.raises(ValueError, match="embeds_forward_fn"):
         eng.run()
+
+
+def test_qwen2_vl_through_dense_engine():
+    """Qwen2-VL (M-RoPE) through the batching engine: image-conditioned
+    requests are token-for-token equal to HQQVLModel.generate — completing
+    VL serving for both VL families (≙ the reference's vllm_qwenvl.py)."""
+    from hqq_tpu.engine.vl import HQQVLModel
+    from hqq_tpu.models import qwen2_vl
+
+    cfg = qwen2_vl.Qwen2VLConfig.tiny()
+    params = qwen2_vl.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    m = HQQVLModel(params=params, cfg=cfg, model_type="qwen2_vl").quantize_model(
+        BaseQuantizeConfig(nbits=8, group_size=16), compute_dtype=jnp.float32
+    )
+    text = m.params["text"]
+
+    grid = ((1, 4, 4),)  # 16 patches -> 4 merged tokens
+    rng = np.random.default_rng(0)
+    patches = rng.standard_normal((16, cfg.vision.patch_dim)).astype(np.float32)
+    n_tok = 4
+    toks = [5, 9] + [cfg.image_token_id] * n_tok + [7]
+    n_new = 6
+
+    ref = m.generate(toks, pixel_values=jnp.asarray(patches), grid_thw=grid,
+                     max_new_tokens=n_new)
+
+    img = m.encode_images(jnp.asarray(patches), grid)
+    emb = qwen2_vl.embed_multimodal(text, cfg, jnp.asarray([toks]), img)
+    pos = qwen2_vl.get_mrope_positions(cfg, np.asarray(toks), grid)  # [3,1,T]
+    mp = int(pos.max()) + 1
+    fwd, efwd = qwen2_vl.serving_forward_fns(cfg)
+    eng = ContinuousBatchingEngine(
+        text, cfg.text, batch_slots=2, max_len=64, cache_dtype=jnp.float32,
+        forward_fn=fwd, embeds_forward_fn=efwd, mrope_offsets=True,
+    )
+    uid = eng.add_request(
+        toks, max_new_tokens=n_new, inputs_embeds=np.asarray(emb[0]),
+        position_ids=pos[:, 0], pos_offset=mp - len(toks),
+    )
+    # a text-only request rides the same batch with standard RoPE
+    ut = eng.add_request([5, 9, 7], max_new_tokens=n_new)
+    out = eng.run()
+    assert out[uid] == ref
+    assert len(out[ut]) == n_new
