@@ -138,10 +138,37 @@ def _build_llava_engine(args, model_dir):
             BaseQuantizeConfig(nbits=args.nbits, group_size=args.group_size)
         )
     cfg = m.cfg
-    text = prepare_for_inference(m.params["text"], args.backend)
-    if args.fuse:
-        text = fuse_for_decode(text)
     vision_tree = m.params["vision"]  # {"vision", "projector"} (fp)
+
+    if args.tp > 1:
+        # TP × VL serving: the quantized text tower shards like any llama
+        # tree; prefill over inputs_embeds runs through tp_embeds_forward_fn
+        # (prepare_tp consumes the QUANTIZED tree, so the single-device
+        # prepare/fuse steps are skipped — same as the text-only --tp path)
+        from .parallel import (
+            make_mesh, prepare_tp, tp_embeds_forward_fn, tp_serving_forward_fn,
+        )
+
+        mesh = make_mesh(data=1, model=args.tp)
+        backend = args.backend if args.backend in ("pallas", "w4a8") else "pallas"
+        if backend != args.backend:
+            print(f"# --tp: backend {args.backend!r} has no sharded kernel "
+                  f"path; using {backend!r}", file=sys.stderr)
+        text, tp_specs, local_cfg = prepare_tp(
+            m.params["text"], cfg.text, mesh, backend=backend
+        )
+        fwd = tp_serving_forward_fn(
+            mesh, tp_specs, local_cfg, page_size=args.page_size,
+            quantize_kv=args.int8_kv,
+        )
+        efwd = tp_embeds_forward_fn(mesh, tp_specs, local_cfg)
+        eng = _engine_for(args, text, cfg.text, forward_fn=fwd,
+                          embeds_forward_fn=efwd)
+    else:
+        text = prepare_for_inference(m.params["text"], args.backend)
+        if args.fuse:
+            text = fuse_for_decode(text)
+        eng = _engine_for(args, text, cfg.text)
 
     def embedder(prompt_ids, vl_inputs):
         px = jnp.asarray(np.asarray(vl_inputs["pixel_values"], np.float32))
@@ -149,11 +176,12 @@ def _build_llava_engine(args, model_dir):
             -1, cfg.text.hidden_size
         )
         toks = jnp.asarray([list(prompt_ids)], jnp.int32)
+        # embed_multimodal reads only text["embed_tokens"] (replicated
+        # under TP), so the serving tree works for both paths
         full = {"text": text, **vision_tree}
         emb = llava.embed_multimodal(full, cfg, toks, img)
         return np.asarray(emb[0])
 
-    eng = _engine_for(args, text, cfg.text)
     eng._vl_embedder = embedder  # picked up by main() for the server
     return eng
 
@@ -182,7 +210,7 @@ def _infer_cache_dtype(params):
     return jnp.bfloat16
 
 
-def _engine_for(args, params, cfg, forward_fn=None):
+def _engine_for(args, params, cfg, forward_fn=None, embeds_forward_fn=None):
     cache_dtype = _infer_cache_dtype(params)
     if args.engine == "paged":
         from .serving.paged import PagedBatchingEngine
@@ -193,7 +221,7 @@ def _engine_for(args, params, cfg, forward_fn=None):
             eos_token_id=args.eos, do_sample=args.sample, horizon=args.horizon,
             quantize_kv=args.int8_kv, enable_prefix_cache=args.prefix_cache,
             prefill_chunk=args.prefill_chunk, forward_fn=forward_fn,
-            cache_dtype=cache_dtype,
+            embeds_forward_fn=embeds_forward_fn, cache_dtype=cache_dtype,
         )
     from .serving.batching import ContinuousBatchingEngine
 
@@ -201,7 +229,7 @@ def _engine_for(args, params, cfg, forward_fn=None):
         params, cfg, batch_slots=args.slots, max_len=args.max_len,
         eos_token_id=args.eos, do_sample=args.sample, horizon=args.horizon,
         quantize_kv=args.int8_kv, forward_fn=forward_fn,
-        cache_dtype=cache_dtype,
+        embeds_forward_fn=embeds_forward_fn, cache_dtype=cache_dtype,
     )
 
 

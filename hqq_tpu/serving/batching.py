@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import llama
-from .generate import next_power_of_2, sample_token
+from .generate import next_power_of_2, sample_token, sample_token_batch
 
 __all__ = ["Request", "ContinuousBatchingEngine"]
 
@@ -48,6 +48,14 @@ class Request:
     slot: Optional[int] = None
     done: bool = False
     adapter_id: int = 0  # multi-LoRA: which adapter serves this request
+    # per-request sampling parameters (None = engine default) — the vLLM
+    # SamplingParams role (≙ ref `utils/vllm.py:578-868` riding vLLM's)
+    do_sample: Optional[bool] = None
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
+    temperature: Optional[float] = None
+    # extra stop token ids beyond the engine's eos (checked host-side)
+    stop_token_ids: Optional[List[int]] = None
     # multimodal: prompt embeddings [T, D] (image features already spliced
     # over placeholder ids) — prefill runs on these instead of token ids
     embeds: Optional[np.ndarray] = None
@@ -55,6 +63,16 @@ class Request:
     # rope offset (mrope_position - token_count; 0 = standard RoPE)
     position_ids: Optional[np.ndarray] = None
     pos_offset: int = 0
+
+
+def _effective_sampling(req: Request, do_sample, top_k, temperature, top_p):
+    """Request params with engine defaults filled in (None = default)."""
+    return (
+        do_sample if req.do_sample is None else bool(req.do_sample),
+        top_k if req.top_k is None else int(req.top_k),
+        temperature if req.temperature is None else float(req.temperature),
+        top_p if req.top_p is None else float(req.top_p),
+    )
 
 
 class ContinuousBatchingEngine:
@@ -126,6 +144,14 @@ class ContinuousBatchingEngine:
 
         # host-side state
         self._adapter = np.zeros((batch_slots,), np.int32)
+        # per-slot sampling params [4, S]: do_sample / top_k / temperature /
+        # top_p — one array keeps the jitted decode signature stable while
+        # every slot carries its own request's values
+        self._samp = np.zeros((4, batch_slots), np.float32)
+        self._samp[0] = 1.0 if do_sample else 0.0
+        self._samp[1] = top_k
+        self._samp[2] = temperature
+        self._samp[3] = top_p
         self.queue: deque[Request] = deque()
         self.active: Dict[int, Request] = {}  # slot -> request
         self.finished: Dict[int, Request] = {}
@@ -188,28 +214,30 @@ class ContinuousBatchingEngine:
             logits, mini_cache = self._efwd(params, embeds, mini_cache, 0, pos_ids)
         return logits, mini_cache
 
-    def _decode_impl(self, params, tokens, cache, pos, live, key, offs=None):
+    def _decode_impl(self, params, tokens, cache, pos, live, key, samp, offs=None):
         """One decode step for all slots; inactive slots are computed but
-        ignored (static batch)."""
+        ignored (static batch). `samp` [4, S] carries the per-slot sampling
+        params (do_sample / top_k / temperature / top_p)."""
         if self._mrope:
             logits, cache = self._fwd(params, tokens[:, None], cache, pos, offs)
         else:
             logits, cache = self._fwd(params, tokens[:, None], cache, pos)
         key, sub = jax.random.split(key)
-        nxt = sample_token(
-            logits[:, -1], sub, self.do_sample, self.top_k, self.temperature,
-            self.top_p,
+        nxt = sample_token_batch(
+            logits[:, -1], sub, samp[0] > 0.5, samp[1].astype(jnp.int32),
+            samp[2], samp[3],
         )
         return nxt.astype(jnp.int32), cache, key
 
     def _decode_impl_lora(self, params, tokens, cache, pos, live, key,
-                          adapter_ids, offs=None):
+                          adapter_ids, samp, offs=None):
         from ..nn.multilora import adapter_context
 
         with adapter_context(adapter_ids):
-            return self._decode_impl(params, tokens, cache, pos, live, key, offs)
+            return self._decode_impl(params, tokens, cache, pos, live, key,
+                                     samp, offs)
 
-    def _decode_horizon_impl(self, params, tokens, cache, pos, key,
+    def _decode_horizon_impl(self, params, tokens, cache, pos, key, samp,
                              offs=None, *, steps):
         """`steps` decode steps for all slots inside ONE device program."""
 
@@ -220,9 +248,9 @@ class ContinuousBatchingEngine:
             else:
                 logits, cache = self._fwd(params, tok[:, None], cache, pos)
             key, sub = jax.random.split(key)
-            nxt = sample_token(
-                logits[:, -1], sub, self.do_sample, self.top_k, self.temperature,
-                self.top_p,
+            nxt = sample_token_batch(
+                logits[:, -1], sub, samp[0] > 0.5, samp[1].astype(jnp.int32),
+                samp[2], samp[3],
             ).astype(jnp.int32)
             return (nxt, cache, pos + 1, key), nxt
 
@@ -232,17 +260,22 @@ class ContinuousBatchingEngine:
         return toks, cache, key  # toks: [steps, slots]
 
     def _decode_horizon_impl_lora(self, params, tokens, cache, pos, key,
-                                  adapter_ids, offs=None, *, steps):
+                                  adapter_ids, samp, offs=None, *, steps):
         from ..nn.multilora import adapter_context
 
         with adapter_context(adapter_ids):
             return self._decode_horizon_impl(params, tokens, cache, pos, key,
-                                             offs, steps=steps)
+                                             samp, offs, steps=steps)
 
     # -- public API -----------------------------------------------------------
     def add_request(self, prompt_ids, max_new_tokens: int = 128,
                     adapter_id: int = 0, inputs_embeds=None,
-                    position_ids=None, pos_offset: int = 0) -> int:
+                    position_ids=None, pos_offset: int = 0,
+                    do_sample: Optional[bool] = None,
+                    top_k: Optional[int] = None,
+                    top_p: Optional[float] = None,
+                    temperature: Optional[float] = None,
+                    stop_token_ids: Optional[List[int]] = None) -> int:
         """`inputs_embeds` [T, D]: multimodal prompt embeddings (vision
         features already spliced over placeholder ids) — prefill runs on
         these; decode proceeds on sampled token ids as usual (VL serving).
@@ -250,7 +283,13 @@ class ContinuousBatchingEngine:
         M-RoPE (qwen2_vl): `position_ids` [3, T] explicit prefill rope ids
         and `pos_offset` (max_position + 1 - prompt_len) so decode rope runs
         at cache_length + offset; requires the engine to be built with
-        mrope_offsets=True and an M-RoPE-aware forward_fn/embeds_forward_fn."""
+        mrope_offsets=True and an M-RoPE-aware forward_fn/embeds_forward_fn.
+
+        do_sample / top_k / top_p / temperature: per-REQUEST sampling
+        parameters (None = this engine's defaults); a greedy and a sampled
+        request decode side by side in the same batch. stop_token_ids: extra
+        stop ids beyond the engine's eos (the stop token is kept in the
+        output, matching eos behavior)."""
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         t_pad = next_power_of_2(max(len(prompt), 2))
         if t_pad + max_new_tokens > self.max_len:
@@ -271,6 +310,14 @@ class ContinuousBatchingEngine:
             assert position_ids.shape[1] == len(prompt)
         if pos_offset:
             assert self._mrope, "pos_offset requires mrope_offsets=True"
+        if self._mrope and inputs_embeds is not None and position_ids is None:
+            # the M-RoPE embeds forward requires explicit position ids; fail
+            # at submission with a clear message instead of an opaque
+            # TypeError inside the jitted prefill
+            raise ValueError(
+                "inputs_embeds on an mrope_offsets engine requires "
+                "position_ids [3, T] (qwen2_vl M-RoPE prefill ids)"
+            )
         self._uid += 1
         req = Request(
             uid=self._uid,
@@ -280,6 +327,11 @@ class ContinuousBatchingEngine:
             embeds=inputs_embeds,
             position_ids=position_ids,
             pos_offset=int(pos_offset),
+            do_sample=do_sample,
+            top_k=top_k,
+            top_p=top_p,
+            temperature=temperature,
+            stop_token_ids=list(stop_token_ids) if stop_token_ids else None,
         )
         self.queue.append(req)
         return req.uid
@@ -292,6 +344,10 @@ class ContinuousBatchingEngine:
         prompt[0, :t] = req.prompt
 
         self._adapter[slot] = req.adapter_id
+        ds, tk, tmp, tp = _effective_sampling(
+            req, self.do_sample, self.top_k, self.temperature, self.top_p
+        )
+        self._samp[:, slot] = (1.0 if ds else 0.0, tk, tmp, tp)
         # prefill runs in a FULL-PRECISION mini-cache (so prefill logits and
         # the first sampled token are unaffected by KV quantization — same
         # split as the paged engine); rows quantize at the splice
@@ -343,10 +399,7 @@ class ContinuousBatchingEngine:
                 v=jax.lax.dynamic_update_slice(self.cache.v, mini.v, at),
             )
         self._key, sub = jax.random.split(self._key)
-        first = sample_token(
-            logits[:, t - 1], sub, self.do_sample, self.top_k, self.temperature,
-            self.top_p,
-        )
+        first = sample_token(logits[:, t - 1], sub, ds, tk, tmp, tp)
         from ..utils.profiling import log_event
 
         log_event("request_admitted", uid=req.uid, slot=slot, prompt_len=t)
@@ -363,9 +416,12 @@ class ContinuousBatchingEngine:
         if req is None:
             return
         last = req.output[-1] if req.output else None
-        if (self.eos is not None and last == self.eos) or len(
-            req.output
-        ) >= req.max_new_tokens or int(self._pos[slot]) >= self.max_len - 1:
+        if (
+            (self.eos is not None and last == self.eos)
+            or (req.stop_token_ids and last in req.stop_token_ids)
+            or len(req.output) >= req.max_new_tokens
+            or int(self._pos[slot]) >= self.max_len - 1
+        ):
             from ..utils.profiling import log_event
 
             log_event("request_finished", uid=req.uid, slot=slot,
@@ -420,6 +476,7 @@ class ContinuousBatchingEngine:
                 jnp.asarray(self._live),
                 self._key,
                 jnp.asarray(self._adapter),
+                jnp.asarray(self._samp),
                 jnp.asarray(self._pos_off) if self._mrope else None,
             )
             toks = np.asarray(nxt)[None]  # [1, slots]
@@ -431,6 +488,7 @@ class ContinuousBatchingEngine:
                 jnp.asarray(self._pos),
                 self._key,
                 jnp.asarray(self._adapter),
+                jnp.asarray(self._samp),
                 jnp.asarray(self._pos_off) if self._mrope else None,
                 steps=h,
             )

@@ -29,7 +29,7 @@ from jax import Array
 
 from ..models import llama
 
-__all__ = ["Generator", "sample_token", "next_power_of_2"]
+__all__ = ["Generator", "sample_token", "sample_token_batch", "next_power_of_2"]
 
 
 def next_power_of_2(n: int) -> int:
@@ -61,6 +61,48 @@ def sample_token(
     g = jax.random.gumbel(key, vals.shape, dtype=vals.dtype)
     choice = jnp.argmax(vals + g, axis=-1)
     return jnp.take_along_axis(idxs, choice[..., None], axis=-1)[..., 0]
+
+
+# static top-k width for the per-row sampler: requested top_k values are
+# clamped to this, keeping the lax.top_k shape (and the compiled decode
+# step) independent of any request's parameters
+MAX_TOP_K = 64
+
+
+def sample_token_batch(
+    logits: Array,
+    key: Array,
+    do_sample: Array,
+    top_k: Array,
+    temperature: Array,
+    top_p: Array,
+) -> Array:
+    """Per-ROW sampling parameters — each continuous-batching slot carries
+    its own request's params inside one jitted step (the vLLM SamplingParams
+    role behind `/root/reference/hqq/utils/vllm.py:578-868`; the reference
+    itself has engine-wide settings only).
+
+    logits [S, V]; do_sample bool[S]; top_k int32[S] (clamped to MAX_TOP_K);
+    temperature f32[S]; top_p f32[S]. Greedy rows (do_sample False) are
+    bit-identical to `jnp.argmax` regardless of the other params.
+    """
+    greedy = jnp.argmax(logits, axis=-1)
+    lt = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-5)[:, None]
+    k_eff = min(MAX_TOP_K, logits.shape[-1])
+    vals, idxs = jax.lax.top_k(lt, k_eff)  # [S, k_eff] sorted desc
+    pos = jnp.arange(k_eff)[None, :]
+    neg = jnp.finfo(vals.dtype).min
+    vals = jnp.where(pos < jnp.clip(top_k, 1, k_eff)[:, None], vals, neg)
+    # nucleus filter within the top-k candidates (first token always kept;
+    # rows masked by top_k have prob ~0 and stay masked)
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_p[:, None]
+    vals = jnp.where(keep, vals, neg)
+    g = jax.random.gumbel(key, vals.shape, dtype=vals.dtype)
+    choice = jnp.argmax(vals + g, axis=-1)
+    sampled = jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
+    return jnp.where(do_sample, sampled, greedy)
 
 
 class Generator:

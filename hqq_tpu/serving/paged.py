@@ -40,8 +40,8 @@ from ..ops.paged import (
     paged_attention_ref,
     quant_rows as _quant_rows,
 )
-from .batching import Request
-from .generate import next_power_of_2, sample_token
+from .batching import Request, _effective_sampling
+from .generate import next_power_of_2, sample_token, sample_token_batch
 
 __all__ = ["PagedKVCache", "PagedBatchingEngine", "paged_attention_ref", "init_paged_cache"]
 
@@ -208,6 +208,15 @@ class PagedBatchingEngine:
         self._tokens = np.zeros((batch_slots,), np.int32)
         self._pos = np.zeros((batch_slots,), np.int32)
         self._live = np.zeros((batch_slots,), bool)
+        # multi-LoRA: per-slot adapter ids (same MultiLoRALinear +
+        # adapter_context routing as the dense engine)
+        self._adapter = np.zeros((batch_slots,), np.int32)
+        # per-slot sampling params [4, S]: do_sample/top_k/temperature/top_p
+        self._samp = np.zeros((4, batch_slots), np.float32)
+        self._samp[0] = 1.0 if do_sample else 0.0
+        self._samp[1] = top_k
+        self._samp[2] = temperature
+        self._samp[3] = top_p
 
         # prefix cache: chain-digest -> page id (OrderedDict = LRU order)
         from collections import OrderedDict
@@ -245,11 +254,19 @@ class PagedBatchingEngine:
         self.params = None
 
     # -- jitted kernels ------------------------------------------------------
-    def _prefill_impl(self, params, tokens, mini_cache, start_pos, *, t_pad):
-        return self._fwd(params, tokens, mini_cache, start_pos)
+    def _prefill_impl(self, params, tokens, mini_cache, start_pos, adapter_ids,
+                      *, t_pad):
+        from ..nn.multilora import adapter_context
 
-    def _prefill_embeds_impl(self, params, embeds, mini_cache, start_pos, *, t_pad):
-        return self._efwd(params, embeds, mini_cache, start_pos)
+        with adapter_context(adapter_ids):
+            return self._fwd(params, tokens, mini_cache, start_pos)
+
+    def _prefill_embeds_impl(self, params, embeds, mini_cache, start_pos,
+                             adapter_ids, *, t_pad):
+        from ..nn.multilora import adapter_context
+
+        with adapter_context(adapter_ids):
+            return self._efwd(params, embeds, mini_cache, start_pos)
 
     def _load_prefix_impl(self, mini, cache, pages):
         """Gather cached prefix pages into the dense mini-cache rows
@@ -272,24 +289,35 @@ class PagedBatchingEngine:
             v=jax.lax.dynamic_update_slice(mini.v, v, (0, 0, 0, 0, 0)),
         )
 
-    def _decode_impl(self, params, tokens, cache, lengths, page_tab, key):
-        logits, cache = self._fwd(params, tokens[:, None], cache, lengths, page_tab)
+    def _decode_impl(self, params, tokens, cache, lengths, page_tab, key,
+                     adapter_ids, samp):
+        from ..nn.multilora import adapter_context
+
+        with adapter_context(adapter_ids):
+            logits, cache = self._fwd(params, tokens[:, None], cache, lengths,
+                                      page_tab)
         key, sub = jax.random.split(key)
-        nxt = sample_token(logits[:, -1], sub, self.do_sample, self.top_k,
-                           self.temperature, self.top_p)
+        nxt = sample_token_batch(
+            logits[:, -1], sub, samp[0] > 0.5, samp[1].astype(jnp.int32),
+            samp[2], samp[3],
+        )
         return nxt.astype(jnp.int32), cache, key
 
-    def _decode_horizon_impl(self, params, tokens, cache, lengths, page_tab, key, *, steps):
+    def _decode_horizon_impl(self, params, tokens, cache, lengths, page_tab,
+                             key, adapter_ids, samp, *, steps):
         """`steps` paged decode steps in ONE device program (host-latency
         amortization, same trick as the dense engine's horizon)."""
+        from ..nn.multilora import adapter_context
 
         def body(carry, _):
             tok, cache, lengths, key = carry
-            logits, cache = self._fwd(params, tok[:, None], cache, lengths, page_tab)
+            with adapter_context(adapter_ids):
+                logits, cache = self._fwd(params, tok[:, None], cache, lengths,
+                                          page_tab)
             key, sub = jax.random.split(key)
-            nxt = sample_token(
-                logits[:, -1], sub, self.do_sample, self.top_k, self.temperature,
-                self.top_p,
+            nxt = sample_token_batch(
+                logits[:, -1], sub, samp[0] > 0.5, samp[1].astype(jnp.int32),
+                samp[2], samp[3],
             ).astype(jnp.int32)
             return (nxt, cache, lengths + 1, key), nxt
 
@@ -300,11 +328,25 @@ class PagedBatchingEngine:
 
     # -- host-side scheduling --------------------------------------------------
     def add_request(self, prompt_ids, max_new_tokens: int = 128,
-                    inputs_embeds=None) -> int:
+                    inputs_embeds=None, adapter_id: int = 0,
+                    do_sample: Optional[bool] = None,
+                    top_k: Optional[int] = None,
+                    top_p: Optional[float] = None,
+                    temperature: Optional[float] = None,
+                    stop_token_ids: Optional[List[int]] = None) -> int:
         """`inputs_embeds` [T, D]: multimodal prompt embeddings (VL serving).
         Embeds requests bypass the prefix cache — page keys hash TOKEN
         content, and image placeholders repeat the same id, so two requests
-        with different images would alias — and prefill unchunked."""
+        with different images would alias — and prefill unchunked.
+
+        adapter_id: multi-LoRA adapter for this request (0 = no adapter;
+        params must hold MultiLoRALinear layers — same contract as the dense
+        engine). Prefix-cache page keys are seeded with the adapter id: LoRA
+        changes the KV content, so pages are only shared within an adapter.
+
+        do_sample / top_k / top_p / temperature / stop_token_ids: per-request
+        sampling (None = engine defaults), same semantics as the dense
+        engine's `add_request`."""
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         t_pad = next_power_of_2(max(len(prompt), 2))
         need = -(-(len(prompt) + max_new_tokens) // self.pg)
@@ -322,7 +364,10 @@ class PagedBatchingEngine:
         self._uid += 1
         self.queue.append(
             Request(uid=self._uid, prompt=prompt, max_new_tokens=max_new_tokens,
-                    embeds=inputs_embeds)
+                    embeds=inputs_embeds, adapter_id=int(adapter_id),
+                    do_sample=do_sample, top_k=top_k, top_p=top_p,
+                    temperature=temperature,
+                    stop_token_ids=list(stop_token_ids) if stop_token_ids else None)
         )
         return self._uid
 
@@ -332,18 +377,22 @@ class PagedBatchingEngine:
         )
 
     # -- prefix cache helpers -------------------------------------------------
-    def _prefix_keys(self, prompt: np.ndarray) -> list:
+    def _prefix_keys(self, prompt: np.ndarray, adapter_id: int = 0) -> list:
         """Chain digests of the prompt's cacheable full pages. The page
         holding the LAST prompt token is never cached/shared: decode writes
         into it when the prompt isn't page-aligned, and even when it is, the
-        last token must re-run to produce logits."""
+        last token must re-run to produce logits.
+
+        The chain is seeded with the adapter id: a LoRA adapter changes the
+        KV content of a page, so identical prompts under different adapters
+        must never share pages."""
         import hashlib
 
         t, pg = len(prompt), self.pg
         full = t // pg
         if full * pg == t:
             full -= 1
-        keys, h = [], b""
+        keys, h = [], b"adapter:%d" % adapter_id
         for j in range(max(full, 0)):
             h = hashlib.sha1(h + prompt[j * pg : (j + 1) * pg].tobytes()).digest()
             keys.append(h)
@@ -376,6 +425,11 @@ class PagedBatchingEngine:
     def _admit(self, slot: int, req: Request) -> None:
         need = self._pages_needed(req)
         t = len(req.prompt)
+        self._adapter[slot] = req.adapter_id
+        ds, tk, tmp, tp = _effective_sampling(
+            req, self.do_sample, self.top_k, self.temperature, self.top_p
+        )
+        self._samp[:, slot] = (1.0 if ds else 0.0, tk, tmp, tp)
 
         # longest cached page-aligned prefix (contiguous leading hits only).
         # Embeds (multimodal) requests never use the prefix cache: keys hash
@@ -384,7 +438,7 @@ class PagedBatchingEngine:
         shared: List[int] = []
         keys: list = []
         if self._prefix_cache is not None and req.embeds is None:
-            keys = self._prefix_keys(req.prompt)
+            keys = self._prefix_keys(req.prompt, req.adapter_id)
             for j, key in enumerate(keys):
                 page = self._prefix_cache.get(key)
                 if page is None:
@@ -439,14 +493,15 @@ class PagedBatchingEngine:
             emb[0, :t_suf] = req.embeds[s0:]
             logits, mini = self._prefill_embeds_jit(
                 self.params, jnp.asarray(emb, self._mini_dtype), mini,
-                jnp.asarray(s0, jnp.int32), t_pad=t_pad_total,
+                jnp.asarray(s0, jnp.int32),
+                jnp.asarray([req.adapter_id], jnp.int32), t_pad=t_pad_total,
             )
         else:
             suffix = np.zeros((1, t_pad_total), np.int32)
             suffix[0, :t_suf] = req.prompt[s0:]
             logits, mini = self._prefill_jit(
                 self.params, jnp.asarray(suffix), mini, jnp.asarray(s0, jnp.int32),
-                t_pad=t_pad_total,
+                jnp.asarray([req.adapter_id], jnp.int32), t_pad=t_pad_total,
             )
         self._finish_prefill(slot, req, mini, logits, t_suf - 1, t, s0,
                              pages, pages_new, keys, n_shared)
@@ -473,10 +528,10 @@ class PagedBatchingEngine:
         self._page_tab[slot, : len(pages)] = pages
 
         self._key, sub = jax.random.split(self._key)
-        first = sample_token(
-            logits[:, first_idx], sub, self.do_sample, self.top_k, self.temperature,
-            self.top_p,
+        ds, tk, tmp, tp = _effective_sampling(
+            req, self.do_sample, self.top_k, self.temperature, self.top_p
         )
+        first = sample_token(logits[:, first_idx], sub, ds, tk, tmp, tp)
         from ..utils.profiling import log_event
 
         log_event("request_admitted", uid=req.uid, slot=slot, prompt_len=t,
@@ -500,7 +555,8 @@ class PagedBatchingEngine:
         buf[0, :n] = req.prompt[start : start + n]
         logits, st["mini"] = self._prefill_jit(
             self.params, jnp.asarray(buf), st["mini"],
-            jnp.asarray(start, jnp.int32), t_pad=t_pad,
+            jnp.asarray(start, jnp.int32),
+            jnp.asarray([req.adapter_id], jnp.int32), t_pad=t_pad,
         )
         st["done"] = start + n
         if st["done"] >= t:
@@ -533,6 +589,7 @@ class PagedBatchingEngine:
         out_of_pages = int(self._pos[slot]) + 1 >= len(self.slot_pages[slot]) * self.pg
         if (
             (self.eos is not None and last == self.eos)
+            or (req.stop_token_ids and last in req.stop_token_ids)
             or len(req.output) >= req.max_new_tokens
             or out_of_pages
         ):
@@ -618,6 +675,8 @@ class PagedBatchingEngine:
                 jnp.asarray(self._pos),
                 jnp.asarray(self._page_tab),
                 self._key,
+                jnp.asarray(self._adapter),
+                jnp.asarray(self._samp),
             )
             toks = np.asarray(nxt)[None]
         else:
@@ -628,6 +687,8 @@ class PagedBatchingEngine:
                 jnp.asarray(self._pos),
                 jnp.asarray(self._page_tab),
                 self._key,
+                jnp.asarray(self._adapter),
+                jnp.asarray(self._samp),
                 steps=h,
             )
             toks = np.asarray(toks)

@@ -10,6 +10,10 @@ condition variable until their uid finishes. Pure stdlib — no web framework.
 
     POST /generate   {"prompt_ids": [...], "max_new_tokens": 64}
                   -> {"uid": 3, "tokens": [...]}
+                  Per-request sampling (vLLM SamplingParams role):
+                  "temperature" (0 = greedy), "top_p", "top_k", "do_sample",
+                  "stop_token_ids" [ids], "stop" [strings — each must encode
+                  to a single token], "adapter_id" (multi-LoRA).
     POST /generate   {"prompt_ids": [...], "stream": true}
                   -> text/event-stream; `data: {"uid":3,"tokens":[...]}` per
                      decode progress, final event carries `"done": true` and
@@ -69,7 +73,7 @@ class InferenceServer:
                 self.end_headers()
                 self.wfile.write(body)
 
-            def _sse(self, ids, max_new_tokens, inputs_embeds=None):
+            def _sse(self, ids, max_new_tokens, inputs_embeds=None, **kw):
                 """Server-sent events: one `data:` line per decode progress,
                 connection-close delimited (HTTP/1.0 framing)."""
                 self.send_response(200)
@@ -78,7 +82,7 @@ class InferenceServer:
                 self.send_header("Connection", "close")
                 self.end_headers()
                 for event in srv.stream(ids, max_new_tokens,
-                                        inputs_embeds=inputs_embeds):
+                                        inputs_embeds=inputs_embeds, **kw):
                     if srv.tokenizer is not None and event.get("done"):
                         event["text"] = srv.tokenizer.decode(event["tokens"])
                     self.wfile.write(f"data: {json.dumps(event)}\n\n".encode())
@@ -123,9 +127,13 @@ class InferenceServer:
                         except Exception as e:  # bad pixels must not kill
                             return self._json(400, {  # the handler thread
                                 "error": f"embedder failed: {e}"})
+                    try:
+                        samp = srv._sampling_kwargs(req)
+                    except ValueError as e:
+                        return self._json(400, {"error": str(e)})
                     if req.get("stream"):
-                        return self._sse(ids, mnt, inputs_embeds=embeds)
-                    out = srv.generate(ids, mnt, inputs_embeds=embeds)
+                        return self._sse(ids, mnt, inputs_embeds=embeds, **samp)
+                    out = srv.generate(ids, mnt, inputs_embeds=embeds, **samp)
                     resp = dict(out)
                     if srv.tokenizer is not None:
                         resp["text"] = srv.tokenizer.decode(out["tokens"])
@@ -140,6 +148,41 @@ class InferenceServer:
 
         self._http = ThreadingHTTPServer((host, port), Handler)
         self.port = self._http.server_address[1]
+
+    def _sampling_kwargs(self, req: dict) -> dict:
+        """Per-request sampling params from the request JSON -> add_request
+        kwargs. `temperature: 0` means greedy (vLLM convention); a positive
+        temperature without an explicit do_sample implies sampling."""
+        kw = {}
+        if "do_sample" in req:
+            kw["do_sample"] = bool(req["do_sample"])
+        if "temperature" in req:
+            t = float(req["temperature"])
+            if "do_sample" not in req:
+                kw["do_sample"] = t > 0.0
+            if t > 0.0:
+                kw["temperature"] = t
+        if "top_p" in req:
+            kw["top_p"] = float(req["top_p"])
+        if "top_k" in req:
+            kw["top_k"] = int(req["top_k"])
+        if "adapter_id" in req:
+            kw["adapter_id"] = int(req["adapter_id"])
+        stop_ids = [int(x) for x in req.get("stop_token_ids", [])]
+        for s in req.get("stop", []):
+            if self.tokenizer is None:
+                raise ValueError("'stop' strings require the server to have "
+                                 "a tokenizer; use stop_token_ids")
+            enc = self.tokenizer(s, add_special_tokens=False)["input_ids"]
+            if len(enc) != 1:
+                raise ValueError(
+                    f"stop string {s!r} encodes to {len(enc)} tokens; only "
+                    "single-token stop strings are supported "
+                    "(use stop_token_ids)")
+            stop_ids.append(int(enc[0]))
+        if stop_ids:
+            kw["stop_token_ids"] = stop_ids
+        return kw
 
     # -- engine driving -----------------------------------------------------
     def _loop(self):
@@ -156,9 +199,14 @@ class InferenceServer:
             else:
                 time.sleep(0.005)
 
-    def generate(self, prompt_ids, max_new_tokens: int, inputs_embeds=None) -> dict:
-        """Blocking submit: enqueue and wait for completion."""
-        kw = {} if inputs_embeds is None else {"inputs_embeds": inputs_embeds}
+    def generate(self, prompt_ids, max_new_tokens: int, inputs_embeds=None,
+                 **samp) -> dict:
+        """Blocking submit: enqueue and wait for completion. Extra kwargs
+        (per-request sampling, adapter_id, stop_token_ids) pass through to
+        `engine.add_request`."""
+        kw = dict(samp)
+        if inputs_embeds is not None:
+            kw["inputs_embeds"] = inputs_embeds
         with self._lock:
             # enqueue only (engine.add_request appends to the queue; the loop
             # thread admits it inside step) — instant even mid-step
@@ -192,13 +240,16 @@ class InferenceServer:
         out = list(req.output) if req is not None and req.output else []
         return out, uid in self.engine.finished
 
-    def stream(self, prompt_ids, max_new_tokens: int, inputs_embeds=None):
+    def stream(self, prompt_ids, max_new_tokens: int, inputs_embeds=None,
+               **samp):
         """Incremental submit: yield {"uid", "tokens": new_tokens} as the
         engine decodes, then a final {"uid", "done": True, "tokens": all}.
         The concatenation of streamed chunks equals the blocking result.
         The lock is NOT held while a chunk is being consumed (written to a
         socket), so other requests and the step loop keep moving."""
-        kw = {} if inputs_embeds is None else {"inputs_embeds": inputs_embeds}
+        kw = dict(samp)
+        if inputs_embeds is not None:
+            kw["inputs_embeds"] = inputs_embeds
         with self._lock:
             uid = self.engine.add_request(prompt_ids, max_new_tokens=max_new_tokens,
                                           **kw)
