@@ -1,0 +1,215 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Multi-host execution path (VERDICT r3 items: `init_multihost` and the
+cross-host scheduler-determinism property that docs/SERVING.md §6 asserts).
+
+1. A REAL 2-process `jax.distributed` run on CPU: two subprocesses with 4
+   virtual devices each form one 8-device world, build one global mesh,
+   shard a quantized tiny-llama with `prepare_tp` and execute one TP forward
+   — the result must agree across processes AND with a single-process run of
+   the same mesh geometry. ≙ the process story the reference inherits from
+   vLLM (`/root/reference/hqq/utils/vllm.py:836-868`).
+
+2. Scheduler determinism: two independent engine instances fed the identical
+   request stream must make identical host-side decisions at every step
+   (admission order, page tables, positions, outputs) — the invariant that
+   lets every host of a multi-host deployment run the same engine script as
+   one SPMD program (docs/SERVING.md §6).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    repo, port, pid = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    sys.path.insert(0, repo)
+    import jax
+    # a sitecustomize may have pinned an experimental plugin backend before
+    # this script ran — override the config directly (same as tests/conftest)
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from hqq_tpu.parallel.mesh import init_multihost, make_mesh
+
+    idx = init_multihost(coordinator_address="127.0.0.1:" + port,
+                         num_processes=2, process_id=pid)
+    assert idx == pid, (idx, pid)
+    assert jax.device_count() == 8, jax.device_count()
+    assert len(jax.local_devices()) == 4
+
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.models import llama
+    from hqq_tpu.models.base import quantize_model
+    from hqq_tpu.parallel import prepare_tp_llama, tp_forward_fn
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+    mesh = make_mesh(data=4, model=2)
+    tp_params, tp_specs, local_cfg = prepare_tp_llama(q, cfg, mesh)
+    fwd = tp_forward_fn(mesh, tp_specs, local_cfg)
+    cache = llama.init_cache(cfg, 4, 16, jnp.float32)
+    tokens = jnp.asarray([[3, 17, 29, 5], [11, 2, 7, 7],
+                          [9, 1, 2, 3], [25, 6, 4, 8]], jnp.int32)
+    logits, cache = fwd(tp_params, tokens, cache, 0)
+    # replicated scalars: identical on every process by construction
+    print("CHECKSUM %.6e %.6e" % (float(jnp.sum(jnp.abs(logits))),
+                                  float(jnp.sum(jnp.abs(cache.k)))))
+""")
+
+
+@pytest.mark.slow
+def test_two_process_distributed_tp_forward(tmp_path):
+    """init_multihost across two REAL processes: one global mesh, sharded
+    quantized params, one TP forward — cross-process agreement + parity with
+    the single-process mesh of the same geometry."""
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    # keep the experimental TPU-plugin site dir out of the workers: its
+    # sitecustomize would register the axon backend and steal the platform
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), REPO, port, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed workers timed out")
+        if p.returncode != 0:
+            low = (out + err).lower()
+            if "distributed" in low and ("unavailable" in low or
+                                         "not supported" in low):
+                pytest.skip(f"jax.distributed unavailable: {err[-200:]}")
+            pytest.fail(f"worker failed rc={p.returncode}:\n{out}\n{err}")
+        outs.append(out)
+
+    sums = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("CHECKSUM")][0]
+        sums.append(tuple(float(x) for x in line.split()[1:]))
+    assert sums[0] == sums[1], f"processes disagree: {sums}"
+
+    # single-process reference on the SAME mesh geometry (8 local devices)
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.models import llama
+    from hqq_tpu.models.base import quantize_model
+    from hqq_tpu.parallel import make_mesh, prepare_tp_llama, tp_forward_fn
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+    mesh = make_mesh(data=4, model=2)
+    tp_params, tp_specs, local_cfg = prepare_tp_llama(q, cfg, mesh)
+    fwd = tp_forward_fn(mesh, tp_specs, local_cfg)
+    cache = llama.init_cache(cfg, 4, 16, jnp.float32)
+    tokens = jnp.asarray([[3, 17, 29, 5], [11, 2, 7, 7],
+                          [9, 1, 2, 3], [25, 6, 4, 8]], jnp.int32)
+    logits, cache = fwd(tp_params, tokens, cache, 0)
+    ref = (float(jnp.sum(jnp.abs(logits))), float(jnp.sum(jnp.abs(cache.k))))
+    np.testing.assert_allclose(sums[0], ref, rtol=1e-5)
+
+
+def _snapshot(eng):
+    """Full host-side scheduler state of a paged engine."""
+    return dict(
+        page_tab=eng._page_tab.copy(),
+        slot_pages=[list(p) for p in eng.slot_pages],
+        pos=eng._pos.copy(),
+        tokens=eng._tokens.copy(),
+        live=eng._live.copy(),
+        active={s: r.uid for s, r in eng.active.items()},
+        prefilling=sorted(eng._prefilling),
+        free=sorted(eng.free_pages),
+        hits=eng.prefix_cache_hits,
+        outputs={u: list(r.output) for u, r in eng.finished.items()},
+    )
+
+
+def test_scheduler_determinism_identical_streams(rng):
+    """Two engine instances + identical request streams -> identical
+    admission order, page tables, and outputs at EVERY step (the docs'
+    multi-host SPMD precondition, now tested)."""
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.models import LlamaConfig, init_params, quantize_model
+    from hqq_tpu.serving.paged import PagedBatchingEngine
+
+    cfg = LlamaConfig.tiny(vocab_size=128)
+    params = quantize_model(
+        init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32),
+        BaseQuantizeConfig(nbits=4, group_size=32), compute_dtype=jnp.float32,
+    )
+
+    def build():
+        return PagedBatchingEngine(
+            params, cfg, batch_slots=2, num_pages=24, page_size=4,
+            max_pages_per_seq=12, cache_dtype=jnp.float32,
+            enable_prefix_cache=True, prefill_chunk=8,
+        )
+
+    a, b = build(), build()
+    # a stream with shared prefixes (prefix-cache decisions), a long prompt
+    # (chunked prefill), more requests than slots (queueing + admission
+    # scans), and a mid-flight cancel
+    shared = list(rng.integers(1, 128, (9,)))
+    stream = [
+        (shared, 6),
+        (list(rng.integers(1, 128, (21,))), 8),   # chunked prefill
+        (shared + [5, 6], 6),                     # prefix hit
+        (list(rng.integers(1, 128, (3,))), 30),   # page-hungry
+        (shared, 4),
+        (list(rng.integers(1, 128, (5,))), 6),
+    ]
+    uids_a = [a.add_request(p, max_new_tokens=m) for p, m in stream]
+    uids_b = [b.add_request(p, max_new_tokens=m) for p, m in stream]
+    assert uids_a == uids_b
+
+    step = 0
+    cancelled = False
+    while (a.queue or a.active or a._prefilling or
+           b.queue or b.active or b._prefilling):
+        na, nb = a.step(), b.step()
+        assert na == nb, f"step {step}: active counts diverge"
+        if step == 2 and not cancelled:  # same cancel on both streams
+            assert a.cancel(uids_a[3]) == b.cancel(uids_b[3])
+            cancelled = True
+        sa, sb = _snapshot(a), _snapshot(b)
+        for key in sa:
+            if isinstance(sa[key], np.ndarray):
+                assert np.array_equal(sa[key], sb[key]), (step, key)
+            else:
+                assert sa[key] == sb[key], (step, key)
+        step += 1
+        assert step < 200, "runaway"
+
+    assert {u: r.output for u, r in a.finished.items()} == \
+           {u: r.output for u, r in b.finished.items()}
