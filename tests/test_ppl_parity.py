@@ -20,7 +20,6 @@ import pytest
 import jax.numpy as jnp
 
 MAX_LENGTH, STRIDE, SEQ_LEN = 128, 64, 384
-NBITS, GROUP = 4, 32
 
 
 def _ref_modules():
@@ -60,7 +59,16 @@ def _torch_windowed_ppl(model, tokens, torch):
     return float(np.exp(nll_sum / end_loc))
 
 
-def test_ppl_delta_matches_reference(tmp_path):
+# The parity gate covers the BASELINE quality modes, not just the easy
+# default: 4-bit g64-class axis=1 (the headline config), 3-bit axis=1, and
+# 2-bit g16 axis=0 (the quality grouping the reference's native kernel layer
+# exists for, `/root/reference/hqq/kernels/hqq_aten_cuda.cpp:42`).
+@pytest.mark.parametrize(
+    "NBITS,GROUP,AXIS",
+    [(4, 32, 1), (3, 64, 1), (2, 16, 0)],
+    ids=["4b-ax1", "3b-ax1", "2b-g16-ax0"],
+)
+def test_ppl_delta_matches_reference(tmp_path, NBITS, GROUP, AXIS):
     torch = pytest.importorskip("torch")
     transformers = pytest.importorskip("transformers")
     RefCfg, HQQLinear, HQQBackend = _ref_modules()
@@ -81,7 +89,7 @@ def test_ppl_delta_matches_reference(tmp_path):
     # ---- torch/reference stack: fp PPL, quantize, q PPL ----
     ppl_fp_ref = _torch_windowed_ppl(model, t_tokens, torch)
     HQQLinear.set_backend(HQQBackend.PYTORCH)
-    qcfg = RefCfg(nbits=NBITS, group_size=GROUP, axis=1)
+    qcfg = RefCfg(nbits=NBITS, group_size=GROUP, axis=AXIS)
     for layer in model.model.layers:
         for parent, name in (
             (layer.self_attn, "q_proj"), (layer.self_attn, "k_proj"),
@@ -115,7 +123,7 @@ def test_ppl_delta_matches_reference(tmp_path):
     jtok = jnp.asarray(stream[None], jnp.int32)
     ppl_fp = perplexity(params, cfg, jtok, max_length=MAX_LENGTH, stride=STRIDE)
     qparams = quantize_model(
-        params, BaseQuantizeConfig(nbits=NBITS, group_size=GROUP),
+        params, BaseQuantizeConfig(nbits=NBITS, group_size=GROUP, axis=AXIS),
         compute_dtype=jnp.float32,
     )
     ppl_q = perplexity(qparams, cfg, jtok, max_length=MAX_LENGTH, stride=STRIDE)
@@ -123,8 +131,14 @@ def test_ppl_delta_matches_reference(tmp_path):
 
     # fp pipelines must agree outright (same model, same protocol)
     assert abs(ppl_fp - ppl_fp_ref) < 0.05, (ppl_fp, ppl_fp_ref)
-    # the BASELINE criterion, stack-vs-stack: quantization-induced deltas match
-    assert abs(delta - delta_ref) < 0.05, (
-        f"delta ours={delta:+.4f} vs ref={delta_ref:+.4f} "
-        f"(fp {ppl_fp:.4f}/{ppl_fp_ref:.4f}, q {ppl_q:.4f}/{ppl_q_ref:.4f})"
+    # the BASELINE criterion, stack-vs-stack: quantization-induced deltas
+    # must match. 0.05 absolute is the 4-bit bar; low-bit configs on a tiny
+    # RANDOM model sit at PPL deltas of tens (the weights carry no structure
+    # to preserve), where identical quantization math still leaves fp
+    # accumulation-order differences between torch and XLA — scale the bound
+    # by the delta itself there (3%), keeping 0.05 when deltas are small.
+    tol = max(0.05, 0.03 * abs(delta_ref))
+    assert abs(delta - delta_ref) < tol, (
+        f"delta ours={delta:+.4f} vs ref={delta_ref:+.4f} (tol {tol:.3f}, "
+        f"fp {ppl_fp:.4f}/{ppl_fp_ref:.4f}, q {ppl_q:.4f}/{ppl_q_ref:.4f})"
     )

@@ -22,15 +22,26 @@ from hqq_tpu.utils.patching import prepare_for_inference
 PROMPTS = [[3, 17, 29, 5], [11, 2], [7, 7, 23, 23, 41, 9]]
 
 
-@pytest.fixture(scope="module")
-def setup():
-    cfg = llama.LlamaConfig.tiny()
+@pytest.fixture(scope="module", params=[2, 4], ids=["tp2", "tp4"])
+def setup(request):
+    """The whole grid runs at BOTH tp=2 and tp=4 (r3 weak item 7: tp=4
+    coverage was a single case). tiny() has 2 kv heads, so tp=4 gets a
+    4-kv-head sibling of the same size."""
+    tp = request.param
+    if tp == 2:
+        cfg = llama.LlamaConfig.tiny()
+    else:
+        cfg = llama.LlamaConfig(
+            vocab_size=256, hidden_size=256, intermediate_size=512,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, max_position_embeddings=512,
+        )
     params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
     qparams = quantize_model(
         params, BaseQuantizeConfig(nbits=4, group_size=32),
         compute_dtype=jnp.float32,
     )
-    mesh = make_mesh(data=1, model=2)
+    mesh = make_mesh(data=1, model=tp)
     tp_params, tp_specs, local_cfg = prepare_tp(qparams, cfg, mesh)
     single_params = prepare_for_inference(qparams, "pallas")
     return cfg, mesh, tp_params, tp_specs, local_cfg, single_params
