@@ -158,12 +158,18 @@ def patch_quantlinear_to_w4a8(
 
 
 def _a8_pad_k_groups(qt) -> int:
-    """K-padding group multiple for the a8 kernels (see
-    `patch_quantlinear_to_w4a8` docstring for the 32-vs-8 tradeoff)."""
+    """K-padding group multiple for the a8 kernels: the deepest
+    class-replication tier (32 > 16 > 8) whose zero-padding stays ≤5% of K.
+    Padding is streamed AND dotted, so it costs time, not just bytes —
+    k=11008 padded to 32 groups (11.6% waste) measured ~8% slower than the
+    16-group tier with 2.3% waste (tools/kernel_lab_a8v2.py pass3)."""
     g = qt.group_size
     k = qt.shape[1]
-    pad32 = -(-k // (32 * g)) * 32 * g
-    return 32 if (pad32 - k) * 8 <= k else 8
+    for tier in (32, 16):
+        pad = -(-k // (tier * g)) * tier * g
+        if (pad - k) * 20 <= k:
+            return tier
+    return 8
 
 
 def _patch_w4a8_any_axis(layer: QuantLinear, meta_dtype=None):

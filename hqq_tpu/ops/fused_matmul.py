@@ -54,6 +54,7 @@ __all__ = [
     "quant_matmul_pallas_lora",
     "quantize_activations_int8",
     "dequant_pallas",
+    "register_a8_plan",
 ]
 
 # nbits (canonical) -> container bits used by the kernel layout
@@ -143,15 +144,17 @@ def to_kernel_layout(
 
     pad_k_groups: K is zero-padded to a multiple of ``pad_k_groups·g``
     (padded rows dequantize to exactly 0). 8 is the minimum for the TPU
-    8-sublane rule; 32 additionally enables the M=1 class-replicated decode
-    kernel on every K (the w4a8 backend passes 32 — ≤11% extra bytes on
-    Llama-odd dims like 11008).
+    8-sublane rule; 16/32 enable the deeper class-replication tiers of the
+    M=1 decode kernel. Padding is WORK, not just storage — the w4a8 backend
+    picks the deepest tier whose padding stays ≤5% (`_a8_pad_k_groups`):
+    measured at k=11008, the old always-pad-to-32 policy (11.6% waste)
+    ran 68.4→63.3µs slower than pad-8/s=16 (tools/kernel_lab_a8v2 pass3).
     """
     assert supports_kernel_layout(qt), (
         "kernel layout requires axis=1 grouped quantization with "
         "group_size % (8/container_bits) == 0"
     )
-    assert pad_k_groups in (8, 32)
+    assert pad_k_groups in (8, 16, 32)
     qt = resolve_meta(qt)  # fused kernels consume plain fp scale/zero
     n_out, k = qt.shape
     g = qt.group_size
@@ -411,25 +414,40 @@ def quant_matmul_pallas(
 # ---------------------------------------------------------------------------
 
 
+def _unpack_chunks_2d(p: Array, cb: int) -> list:
+    """Bitfield chunks of a packed tile [TK/r, TN] as r separate int8 tiles
+    (high field first). Extraction runs in int32 LANES over the bitcast view
+    — 4 packed bytes per VPU op instead of widening every byte to its own
+    int32 lane (measured: the widened unpack was ~2.5-3 VPU ops/weight,
+    serializing ~30µs against the MXU dot at 7B shapes; this form plus
+    one-dot-per-chunk took w4a8 from 66-75% to 85-108% of the same-run
+    dense-int8 ceiling, tools/kernel_lab_a8v2.py). The shift+mask acts
+    per-byte, so the result is byte-order-agnostic: bitcast∘bitcast is the
+    identity and each output byte keeps only its own nibble/crumb bits."""
+    r = 8 // cb
+    if r == 1:
+        return [p.astype(jnp.int8)]
+    q32 = pltpu.bitcast(p, jnp.int32)
+    m = jnp.int32(((1 << cb) - 1) * 0x01010101)
+    chunks = []
+    for j in range(r):
+        sh = cb * (r - 1 - j)
+        w = jax.lax.shift_right_logical(q32, sh) if sh else q32
+        chunks.append(pltpu.bitcast(w & m, jnp.int8))
+    return chunks
+
+
 def _unpack_tile_2d(p: Array, cb: int) -> Array:
     """Unpack a packed tile [TK/r, TN] -> int8 codes [TK, TN] in chunk-concat
     row order: row (c·TK/r + p) holds the chunk-c bitfield of packed row p.
     In-group k order is (c, b, i) — consumers permute activations to match."""
-    r = 8 // cb
-    if r == 1:
-        return p.astype(jnp.int8)
-    mask = (1 << cb) - 1
-    p3 = p.astype(jnp.int32)
-    # top chunk needs no mask (p3 is uint8-ranged); cast each chunk to int8
-    # BEFORE the concat so the concat moves 4x fewer bytes through VMEM
-    chunks = [(p3 >> (cb * (r - 1))).astype(jnp.int8)] + [
-        ((p3 >> (cb * (r - 1 - j))) & mask).astype(jnp.int8) for j in range(1, r)
-    ]
-    return jnp.concatenate(chunks, axis=0)
+    chunks = _unpack_chunks_2d(p, cb)
+    return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
 
 
 def _qmm_a8_decode_kernel(
-    xp_ref, wq_ref, scale_ref, zs_ref, out_ref, acc_ref, *, g, cb, s, meff
+    xp_ref, wq_ref, scale_ref, zs_ref, out_ref, acc_ref, *, g, cb, s, meff,
+    split=True
 ):
     """Class-replicated deep-dot decode kernel (see section comment).
 
@@ -446,13 +464,32 @@ def _qmm_a8_decode_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     tn = wq_ref.shape[-1]
-    c8 = _unpack_tile_2d(wq_ref[:], cb)  # [TK, TN]
-    part = jax.lax.dot_general(
-        xp_ref[:],
-        c8,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # [meff·s, TN]; the class mask makes row (m·s+q) = group-q partial
+    tkr = wq_ref.shape[0]
+    if split:
+        # one dot per bitfield chunk, lhs lane-sliced to the chunk's
+        # positions (xp lane order within a tile is chunk-major): no
+        # [TK, TN] concat ever materializes, and the per-chunk
+        # shift/mask -> dot chains give Mosaic independent VPU/MXU work
+        # to overlap
+        part = None
+        for j, cj in enumerate(_unpack_chunks_2d(wq_ref[:], cb)):
+            pj = jax.lax.dot_general(
+                xp_ref[:, j * tkr:(j + 1) * tkr],
+                cj,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            part = pj if part is None else part + pj
+    else:
+        # concat + ONE deep dot: wins at shapes where the whole-N tile fits
+        # and dot depth dominates (see _A8_PLANS)
+        part = jax.lax.dot_general(
+            xp_ref[:],
+            _unpack_tile_2d(wq_ref[:], cb),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    # part [meff·s, TN]; the class mask makes row (m·s+q) = group-q partial
     # fp32 epilogue on the VPU (an MXU fp32 dot would run at bf16 operand
     # precision); xsum rows are already class-masked so the zero term needs
     # no per-group bookkeeping
@@ -480,6 +517,70 @@ def _pick_tile_n(n_pad: int, target: int) -> int:
             return t
         t -= 128
     return n_pad
+
+
+def _a8_tile_plan(n_pad: int, target: int = 4096) -> tuple:
+    """(tn, n_grid) for the a8 decode kernels. Large N tiles amortize the
+    per-step xp load / xsum / epilogue (4096-class tiles measured 10-25%
+    faster than 2048 at 7B/13B shapes). When n_pad has no good 128-multiple
+    divisor (11008 = 2^8·43 -> best divisor 256), use a RAGGED last tile —
+    Pallas clamps out-of-range blocks — instead of tiny tiles (256-wide ran
+    at 62-66% of ceiling; ragged 4096 at 82-88%)."""
+    tn = _pick_tile_n(n_pad, target)
+    if tn >= 1024 or tn == n_pad:
+        return tn, n_pad // tn
+    tn = min(target, n_pad)
+    return tn, -(-n_pad // tn)
+
+
+# ---------------------------------------------------------------------------
+# Decode-kernel tile plans. The best (dot structure, N-tile) combination is
+# shape-dependent (measured, tools/kernel_lab_a8v2.py pass3, % of same-run
+# dense-int8 ceiling): chunk-split dots win at most shapes (4096²: 92%,
+# k=11264: 108%, k=5120: 111%) but the concat+deep-dot form with a whole-N
+# tile wins at k=14336/n=5120 (95% vs 80%). `register_a8_plan` installs
+# measured winners (the gemlite-autotune role in the reference's backend
+# stack, `/root/reference/hqq/backends/gemlite.py`); unknown shapes take the
+# chunk-split heuristic. tools/autotune_a8.py measures and registers plans
+# for a model's shapes on the real chip.
+# ---------------------------------------------------------------------------
+
+# (k_arr, n_pad, group_size, container_bits, s) -> {"split": bool, "tn": int}
+_A8_PLANS: dict = {}
+
+
+def register_a8_plan(k_arr: int, n_pad: int, group_size: int,
+                     container_bits: int, s: int, *, split: bool, tn: int):
+    """Install a measured decode-kernel plan; clears the call caches so a
+    re-registered plan takes effect on the next trace."""
+    _A8_PLANS[(k_arr, n_pad, group_size, container_bits, s)] = dict(
+        split=bool(split), tn=int(tn)
+    )
+    _qmm_a8_decode_call.clear_cache()
+    _qmm_a8_lora_decode_call.clear_cache()
+
+
+def _a8_plan(k_arr: int, n_pad: int, g: int, cb: int, s: int, meff: int):
+    """(split, tn, n_grid) for a decode-kernel shape."""
+    if meff == 1:
+        p = _A8_PLANS.get((k_arr, n_pad, g, cb, s))
+        if p is not None:
+            tn = min(p["tn"], n_pad)
+            return p["split"], tn, -(-n_pad // tn)
+    target = 4096 if meff == 1 else 2048
+    tn, n_grid = _a8_tile_plan(n_pad, target)
+    return True, tn, n_grid
+
+
+# lab-measured winners for the LLaMA-class 7B/13B shapes (g=64, 4-bit)
+for _k, _n, _s, _split, _tn in [
+    (4096, 4096, 32, True, 4096),
+    (11264, 4096, 16, True, 4096),
+    (4096, 11008, 32, True, 4096),   # ragged tail over 11008
+    (14336, 5120, 32, False, 5120),  # concat + whole-N deep dot
+    (5120, 13824, 16, True, 1536),
+]:
+    _A8_PLANS[(_k, _n, 64, 4, _s)] = dict(split=_split, tn=_tn)
 
 
 @functools.partial(
@@ -517,11 +618,12 @@ def _qmm_a8_decode_call(
     xp = xg[:, None] * eye[None, :, None, None, :, None]  # [t,q,m,c,b,i]
     xp = xp.transpose(2, 1, 0, 3, 4, 5).reshape(meff * s, k)
 
-    tn = _pick_tile_n(n_pad, 2048 if meff == 1 else 1024)
-    grid = (n_pad // tn, nt)
+    split, tn, n_grid = _a8_plan(k, n_pad, g, cb, s, meff)
+    grid = (n_grid, nt)
     acc_rows = 8 if meff == 1 else meff
     out = pl.pallas_call(
-        functools.partial(_qmm_a8_decode_kernel, g=g, cb=cb, s=s, meff=meff),
+        functools.partial(_qmm_a8_decode_kernel, g=g, cb=cb, s=s, meff=meff,
+                          split=split),
         grid=grid,
         in_specs=[
             pl.BlockSpec((meff * s, tk), lambda j, kk: (0, kk), memory_space=pltpu.VMEM),
@@ -1367,12 +1469,15 @@ def _qmm_a8_lora_decode_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     tn = wq_ref.shape[-1]
-    c8 = _unpack_tile_2d(wq_ref[:], cb)
-    part = jax.lax.dot_general(
-        xp_ref[:], c8,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+    tkr = wq_ref.shape[0]
+    part = None  # chunk-split dots, same as _qmm_a8_decode_kernel
+    for j, cj in enumerate(_unpack_chunks_2d(wq_ref[:], cb)):
+        pj = jax.lax.dot_general(
+            xp_ref[:, j * tkr:(j + 1) * tkr], cj,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        part = pj if part is None else part + pj
     xsum = jnp.sum(xp_ref[:].astype(jnp.float32), axis=1, keepdims=True)
     if meff == 1:
         contrib = part.astype(jnp.float32) * scale_ref[:] - xsum * zs_ref[:]
@@ -1431,8 +1536,8 @@ def _qmm_a8_lora_decode_call(
     r_pad = b.shape[0]
     xa_p = jnp.zeros((acc_rows, r_pad), jnp.float32).at[: xa.shape[0]].set(xa)
 
-    tn = _pick_tile_n(n_pad, 2048 if meff == 1 else 1024)
-    grid = (n_pad // tn, nt)
+    _, tn, n_grid = _a8_plan(k, n_pad, g, cb, s, meff)
+    grid = (n_grid, nt)
     out = pl.pallas_call(
         functools.partial(_qmm_a8_lora_decode_kernel, g=g, cb=cb, s=s, meff=meff),
         grid=grid,
@@ -1506,6 +1611,10 @@ def quant_matmul_pallas_a8_lora(
     if m == 1 and k_arr % (32 * g) == 0:
         out = _qmm_a8_lora_decode_call(
             x8, kqt.wq, kqt.scale, kqt.zs, xa_p, b_p, s=32, meff=1, **common
+        )
+    elif m == 1 and k_arr % (16 * g) == 0:
+        out = _qmm_a8_lora_decode_call(
+            x8, kqt.wq, kqt.scale, kqt.zs, xa_p, b_p, s=16, meff=1, **common
         )
     else:
         out = _qmm_a8_lora_decode_call(
