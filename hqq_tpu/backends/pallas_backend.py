@@ -67,6 +67,31 @@ class PallasQuantLinear:
         return w_t.T.astype(dtype if dtype is not None else self.compute_dtype)
 
 
+
+def _ax0_meta_dtype(qt, meta_dtype=None):
+    """Meta (scale/zs) storage dtype policy for axis=0 kernel layouts.
+
+    None = auto: bf16 for the sub-8-step CHUNK-MAJOR quality configs
+    (2b g16, 1b g16/g32), fp32 otherwise. Rationale (measured on v5e,
+    tools/kernel_lab_ax0_meta.py, same-run vs the ax1-4b floor): at g=16
+    fp32 scale+zs is ~2/3 of the config's HBM traffic — bf16 took 2b g16
+    from 1.32x to 1.13x the floor and 1b g32 from 1.09x to 0.97x. For the
+    >=8-step configs (3b/2b g64) bf16 measured ~25% SLOWER (Mosaic's bf16
+    broadcast-multiply underperforms fp32, same as the ax1 note in
+    `to_kernel_layout`), so they stay fp32. The bf16 rounding adds ~5e-3
+    relative weight error — noise against 1-2-bit quantization error
+    (bounded in tests/test_ax0_kernel.py::test_ax0_bf16_meta_policy)."""
+    if meta_dtype is not None:
+        return meta_dtype
+    import jax.numpy as jnp
+
+    from ..ops.fused_matmul import _KERNEL_CONTAINER_BITS
+
+    g = qt.group_size
+    r = 8 // _KERNEL_CONTAINER_BITS[qt.nbits]
+    return jnp.bfloat16 if (r > 1 and g // r < 8) else jnp.float32
+
+
 def patch_quantlinear_to_pallas(
     layer: QuantLinear, meta_dtype=None
 ) -> PallasQuantLinear | QuantLinear:
@@ -85,7 +110,10 @@ def patch_quantlinear_to_pallas(
         )
     if supports_kernel_layout_ax0(layer.qweight):
         return PallasQuantLinear(
-            kqt=to_kernel_layout_ax0(layer.qweight, meta_dtype=md), bias=layer.bias
+            kqt=to_kernel_layout_ax0(
+                layer.qweight, meta_dtype=_ax0_meta_dtype(layer.qweight, meta_dtype)
+            ),
+            bias=layer.bias,
         )
     return layer
 
@@ -180,11 +208,11 @@ def _patch_w4a8_any_axis(layer: QuantLinear, meta_dtype=None):
     if supports_kernel_layout(layer.qweight):
         return patch_quantlinear_to_w4a8(layer, meta_dtype)
     if supports_kernel_layout_ax0(layer.qweight):
-        import jax.numpy as jnp
-
-        md = meta_dtype if meta_dtype is not None else jnp.float32
         return A8QuantLinear(
-            kqt=to_kernel_layout_ax0(layer.qweight, meta_dtype=md), bias=layer.bias
+            kqt=to_kernel_layout_ax0(
+                layer.qweight, meta_dtype=_ax0_meta_dtype(layer.qweight, meta_dtype)
+            ),
+            bias=layer.bias,
         )
     return layer
 

@@ -22,16 +22,19 @@ import jax.numpy as jnp
 
 from ..core.quantize import BaseQuantizeConfig
 from ..models import base as model_base
-from ..models import llama, llava, qwen2_vl
+from ..models import aria, llama, llava, qwen2_vl
 
 __all__ = ["HQQVLModel", "AutoHQQVLModel"]
 
-_VL_REGISTRY = {"qwen2_vl": qwen2_vl, "llava": llava}
+_VL_REGISTRY = {"qwen2_vl": qwen2_vl, "llava": llava, "aria": aria}
 
 # vision-tree leaves that stay fp under quantize_model, per architecture
 _VISION_FP = {
     "qwen2_vl": ("patch_embed", "merger_fc1", "merger_fc2"),
     "llava": llava.VISION_FP_TAGS,
+    # aria: the ENTIRE vision tower + projector stay fp — the reference's
+    # placement (`/root/reference/hqq/utils/aria.py:219-224`)
+    "aria": None,
 }
 
 
@@ -47,6 +50,14 @@ def _cfg_from_dict(d: dict, model_type: str):
     if model_type == "llava":
         vision = llava.ClipVisionConfig(**d["vision"])
         return llava.LlavaConfig(text=text, vision=vision, **rest)
+    if model_type == "aria":
+        atext = aria.AriaTextConfig(**d["text"])
+        vision = aria.IdeficsVisionConfig(**d["vision"])
+        if "patch_to_query" in rest:
+            rest["patch_to_query"] = tuple(
+                (int(k), int(v)) for k, v in rest["patch_to_query"]
+            )
+        return aria.AriaConfig(text=atext, vision=vision, **rest)
     vision = qwen2_vl.VisionConfig(**d["vision"])
     if "mrope_section" in rest:
         rest["mrope_section"] = tuple(rest["mrope_section"])
@@ -75,15 +86,29 @@ class HQQVLModel:
         embed and merger projections stay fp (like lm_head)."""
         assert not self.quantized, "model is already quantized"
         qc = quant_config or BaseQuantizeConfig()
-        self.params = {
-            "text": model_base.quantize_model(
-                self.params["text"], qc, compute_dtype
-            ),
-            "vision": model_base.quantize_model(
-                self.params["vision"], vision_config or qc, compute_dtype,
-                ignore=_VISION_FP[self.model_type],
-            ),
-        }
+        if self.model_type == "aria":
+            # grouped expert stacks quantize through quantize_aria (the
+            # HQQGroupedGemm role); vision/projector stay fp
+            full = aria.quantize_aria(
+                {"text": self.params["text"], **self.params["vision"]},
+                attn_config=qc, expert_config=qc,
+                compute_dtype=compute_dtype or jnp.bfloat16,
+            )
+            self.params = {
+                "text": full["text"],
+                "vision": {"vision": full["vision"],
+                           "projector": full["projector"]},
+            }
+        else:
+            self.params = {
+                "text": model_base.quantize_model(
+                    self.params["text"], qc, compute_dtype
+                ),
+                "vision": model_base.quantize_model(
+                    self.params["vision"], vision_config or qc, compute_dtype,
+                    ignore=_VISION_FP[self.model_type],
+                ),
+            }
         self.quantized = True
         return self
 
@@ -121,6 +146,9 @@ class HQQVLModel:
         if self.model_type == "llava":
             out = llava.vision_forward(self.params["vision"], self.cfg, pixel_values)
             return out.reshape(-1, self.cfg.text.hidden_size)
+        if self.model_type == "aria":
+            out = aria.vision_forward(self.params["vision"], self.cfg, pixel_values)
+            return out.reshape(-1, self.cfg.text.hidden_size)
         return qwen2_vl.vision_forward(
             self.params["vision"], self.cfg.vision, pixel_values, grid_thw
         )
@@ -142,7 +170,10 @@ class HQQVLModel:
         sequential RoPE for llava) -> KV-cached decode. Text-only when
         `pixel_values` is None."""
         cfg = self.cfg
-        is_llava = self.model_type == "llava"
+        is_llava = self.model_type in ("llava", "aria")
+        seq_fwd = aria.forward if self.model_type == "aria" else (
+            lambda text, tcfg_unused, *a, **kw: llama.forward(text, cfg.text, *a, **kw)
+        )
         toks = np.asarray(input_ids).reshape(1, -1)
         t0 = toks.shape[1]
         text = self.params["text"]
@@ -153,11 +184,13 @@ class HQQVLModel:
         if pixel_values is not None:
             img = self.encode_images(pixel_values, grid_thw)
             if is_llava:
-                embeds = llava.embed_multimodal(
+                embed_mm = (aria.embed_multimodal if self.model_type == "aria"
+                            else llava.embed_multimodal)
+                embeds = embed_mm(
                     self.params, cfg, jnp.asarray(toks, jnp.int32), img
                 )
-                logits, cache = llama.forward(
-                    text, cfg.text, None, cache, 0, inputs_embeds=embeds
+                logits, cache = seq_fwd(
+                    text, cfg, None, cache, 0, inputs_embeds=embeds
                 )
                 mp = t0
             else:
@@ -171,8 +204,8 @@ class HQQVLModel:
                 )
                 mp = int(pos.max()) + 1
         elif is_llava:
-            logits, cache = llama.forward(
-                text, cfg.text, jnp.asarray(toks, jnp.int32), cache, 0
+            logits, cache = seq_fwd(
+                text, cfg, jnp.asarray(toks, jnp.int32), cache, 0
             )
             mp = t0
         else:
@@ -183,7 +216,7 @@ class HQQVLModel:
 
         if is_llava:
             step = jax.jit(
-                lambda p, t, c, s, pid: llama.forward(p, cfg.text, t, c, s)
+                lambda p, t, c, s, pid: seq_fwd(p, cfg, t, c, s)
             )
         else:
             step = jax.jit(
@@ -233,7 +266,9 @@ class AutoHQQVLModel:
             f"available: {list(_VL_REGISTRY)}"
         )
         mod = _VL_REGISTRY[model_type]
-        cfg_cls = llava.LlavaConfig if model_type == "llava" else mod.Qwen2VLConfig
+        cfg_cls = {"llava": llava.LlavaConfig, "aria": aria.AriaConfig}.get(
+            model_type, getattr(mod, "Qwen2VLConfig", None)
+        )
         cfg = cfg_cls.from_hf(hf_cfg)
         state: dict = {}
         for shard in hf_loader._iter_hf_shards(model_dir):

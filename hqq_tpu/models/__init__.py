@@ -1,5 +1,5 @@
 # SPDX-License-Identifier: Apache-2.0
-from . import deepseek3, falcon, gemma, gemma2, gemma3, gpt2, granite, llama, llava, mistral, mixtral, olmo2, phi, qwen2_vl, starcoder2, vit, whisper  # noqa: F401
+from . import aria, deepseek3, falcon, gemma, gemma2, gemma3, gpt2, granite, llama, llava, mistral, mixtral, olmo2, phi, qwen2_vl, starcoder2, vit, whisper  # noqa: F401
 from . import interop  # noqa: F401
 from .base import (  # noqa: F401
     from_quantized,

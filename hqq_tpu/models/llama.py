@@ -128,6 +128,19 @@ class LlamaConfig:
         )
 
     @classmethod
+    def llama2_70b(cls) -> "LlamaConfig":
+        """BASELINE's scale-out geometry: GQA 64q/8kv, ffn 28672, 80 layers
+        (tensor-sharded w4a8 serving target — see `utils/memory.py` for the
+        per-chip fit arithmetic)."""
+        return cls(
+            hidden_size=8192,
+            intermediate_size=28672,
+            num_hidden_layers=80,
+            num_attention_heads=64,
+            num_key_value_heads=8,
+        )
+
+    @classmethod
     def llama3_8b(cls) -> "LlamaConfig":
         return cls(
             vocab_size=128256,

@@ -1001,7 +1001,18 @@ def to_kernel_layout_ax0(qt: QTensor, meta_dtype=jnp.float32) -> KernelQTensor0:
     """Convert a canonical group-space axis=0 `QTensor` to kernel layout.
 
     One-time, jit-free — the same role `to_kernel_layout` plays for axis=1
-    (≙ the reference backends' repack at prepare_for_inference time)."""
+    (≙ the reference backends' repack at prepare_for_inference time).
+
+    meta_dtype: scale/zs storage dtype. For the sub-8-step CHUNK-MAJOR
+    configs fp32 meta dominates HBM traffic (2b g16: ~2/3 of all bytes) and
+    bf16 measured 52.6→44.9 µs at 4096² M=1 (1b g32: 43.7→38.5, BELOW the
+    ax1-4b floor) with ~5e-3 relative weight drift — noise against 1-2-bit
+    quantization error. For ≥8-step configs bf16 measured ~25% SLOWER (same
+    Mosaic bf16-broadcast deficiency as the ax1 note in `to_kernel_layout`).
+    The serving backends apply this policy automatically
+    (`backends.pallas_backend._ax0_meta_dtype`); this function keeps an
+    explicit fp32 default so direct callers get bit-exactness unless they
+    opt in. Measured: tools/kernel_lab_ax0_meta.py."""
     assert supports_kernel_layout_ax0(qt), (
         "axis=0 kernel layout requires g | out_features and g % 8 == 0"
     )

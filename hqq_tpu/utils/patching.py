@@ -47,13 +47,19 @@ __all__ = ["prepare_for_inference", "merge_zeros_into_lora", "lowrank_approx", "
 BACKENDS = ("xla", "pallas", "w4a8", "int8")
 
 
-def prepare_for_inference(params: Any, backend="pallas", verbose: bool = False) -> Any:
+def prepare_for_inference(params: Any, backend="pallas", verbose: bool = False,
+                          meta_dtype=None) -> Any:
     """Swap quantized layers to the requested inference backend.
 
     `backend` is a single name or a {linear_tag: backend} dict for per-tag
     mixing (e.g. int8 attention + pallas FFN so a 13B fits a 16 GB chip at
     the int8 speed where it matters; tags as in `models.base.get_linear_tags`,
-    missing tags keep "xla")."""
+    missing tags keep "xla").
+
+    `meta_dtype` overrides the kernel-layout scale/zs storage dtype. None =
+    per-config policy (`backends.pallas_backend._ax0_meta_dtype`: bf16 for
+    the sub-8-step axis=0 quality configs, fp32 everywhere else). Pass
+    `jnp.float32` to force bit-exact parity with the xla dequant path."""
     from ..models.base import name_to_linear_tag
 
     per_tag = isinstance(backend, dict)
@@ -66,13 +72,13 @@ def prepare_for_inference(params: Any, backend="pallas", verbose: bool = False) 
 
     def one(node: Any, b: str) -> Any:
         if b == "pallas":
-            out = patch_quantlinear_to_pallas(node)
+            out = patch_quantlinear_to_pallas(node, meta_dtype)
             stats["converted" if out is not node else "kept"] += 1
             return out
         if b == "w4a8":
             from ..backends.pallas_backend import _patch_w4a8_any_axis
 
-            out = _patch_w4a8_any_axis(node)
+            out = _patch_w4a8_any_axis(node, meta_dtype)
             stats["converted" if out is not node else "kept"] += 1
             return out
         if b == "int8":

@@ -100,12 +100,15 @@ def test_ax0_group_not_dividing_n_falls_back():
 @pytest.mark.parametrize("backend", ["pallas", "w4a8"])
 def test_ax0_prepare_for_inference(backend):
     """End-to-end: axis=0 quantized layer converts under both fused backends
-    and its forward/dequantize match the canonical QuantLinear (xla) path."""
+    and its forward/dequantize match the canonical QuantLinear (xla) path.
+    meta_dtype=fp32 forces bit-exactness; the DEFAULT policy stores bf16
+    meta for this sub-8-step config (2b g16) — bounded drift only."""
     w = jax.random.normal(jax.random.PRNGKey(3), (320, 512), jnp.float32) / 20
     cfg = BaseQuantizeConfig(nbits=2, group_size=16, axis=0,
                              compute_dtype=jnp.float32)
     layer = QuantLinear.quantize(w, quant_config=cfg)
-    tree = prepare_for_inference({"up_proj": layer}, backend)
+    tree = prepare_for_inference({"up_proj": layer}, backend,
+                                 meta_dtype=jnp.float32)
     fused = tree["up_proj"]
     assert not isinstance(fused, QuantLinear), "axis=0 must convert"
     assert fused.in_features == 512 and fused.out_features == 320
@@ -121,6 +124,50 @@ def test_ax0_prepare_for_inference(backend):
         np.asarray(layer.dequantize(jnp.float32)),
         rtol=0, atol=2e-6,
     )
+
+    # default policy: bf16 meta for this config, error bounded at the bf16
+    # rounding scale (>=100x below 2-bit quantization error)
+    auto = prepare_for_inference({"up_proj": layer}, backend)["up_proj"]
+    assert auto.kqt.scale.dtype == jnp.bfloat16
+    got_a = np.asarray(auto(x), np.float32)
+    rel_a = np.abs(got_a - ref).max() / np.abs(ref).max()
+    assert rel_a < 2e-2, rel_a
+
+
+def test_ax0_bf16_meta_policy():
+    """`_ax0_meta_dtype` picks bf16 exactly for the chunk-major (sub-8-step)
+    quality configs — where fp32 meta is ~2/3 of HBM traffic — and fp32 for
+    >=8-step configs where bf16 measured SLOWER (v5e,
+    tools/kernel_lab_ax0_meta.py); dequantized-weight drift from bf16 meta
+    stays far below the low-bit quantization error it rides on."""
+    from hqq_tpu.backends.pallas_backend import _ax0_meta_dtype
+    from hqq_tpu.core.quantize import dequantize
+
+    w = jax.random.normal(jax.random.PRNGKey(5), (256, 512), jnp.float32) / 20
+    expect = {(2, 16): jnp.bfloat16, (1, 16): jnp.bfloat16,
+              (1, 32): jnp.bfloat16, (3, 64): jnp.float32,
+              (2, 64): jnp.float32, (4, 64): jnp.float32}
+    for (nbits, g), md in expect.items():
+        qt = quantize(w, nbits=nbits, group_size=g, axis=0,
+                      compute_dtype=jnp.float32)
+        assert _ax0_meta_dtype(qt) == md, (nbits, g)
+
+    # drift bound for the deployed bf16 configs: bf16-meta dequant vs fp32
+    # dequant is <1% of the weight norm; the 2-bit quantization error itself
+    # is >20% — the meta dtype is noise against it (the "recorded error
+    # delta" justifying the policy)
+    for nbits, g in ((2, 16), (1, 16), (1, 32)):
+        qt = quantize(w, nbits=nbits, group_size=g, axis=0,
+                      compute_dtype=jnp.float32)
+        w_fp = np.asarray(dequant_pallas(to_kernel_layout_ax0(qt, jnp.float32)))
+        w_bf = np.asarray(dequant_pallas(
+            to_kernel_layout_ax0(qt, jnp.bfloat16)).astype(jnp.float32))
+        drift = np.linalg.norm(w_bf - w_fp) / np.linalg.norm(w_fp)
+        qerr = float(np.linalg.norm(np.asarray(dequantize(qt, jnp.float32)).T
+                                    - np.asarray(w).T)
+                     / np.linalg.norm(np.asarray(w)))
+        assert drift < 0.01, (nbits, g, drift)
+        assert drift < qerr / 10, (nbits, g, drift, qerr)
 
 
 def test_ax0_matches_reference_grouping_semantics():
@@ -178,7 +225,11 @@ def test_ax0_model_serves_paged_engine():
         return [outs[u] for u in uids]
 
     ref = run(q)  # xla path
-    fused = prepare_for_inference(q, "pallas")
+    # fp32 meta -> kernel arithmetic is bit-identical to the xla dequant
+    # path, so tokens must match exactly (the default bf16-meta policy for
+    # this config trades ~5e-3 weight drift for ~1.2x kernel speed — its
+    # error bound is pinned in test_ax0_bf16_meta_policy)
+    fused = prepare_for_inference(q, "pallas", meta_dtype=jnp.float32)
     from hqq_tpu.backends.pallas_backend import PallasQuantLinear
 
     leaf = fused["layers"][0]["self_attn"]["q_proj"]
