@@ -99,6 +99,7 @@ def tree_to_state(tree: Any, prefix: str = "") -> Tuple[Dict[str, Any], Any]:
                     "group_size": node.group_size,
                     "shape": list(node.shape),
                     "compute_dtype": _dtype_name(node.compute_dtype),
+                    "bc4": bool(node.bc4),
                 },
             }
         if type(node).__name__ == "Int8QuantLinear":
@@ -238,6 +239,7 @@ def state_to_tree(
                 group_size=m["group_size"],
                 shape=tuple(m["shape"]),
                 compute_dtype=_DTYPE_NAMES[m["compute_dtype"]],
+                bc4=bool(m.get("bc4", False)),
             )
         if t == "Int8QuantLinear":
             from ..backends.int8_backend import Int8QuantLinear

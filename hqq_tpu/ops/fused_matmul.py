@@ -31,6 +31,8 @@ backend); `axis=0` falls back to the XLA path.
 from __future__ import annotations
 
 import functools
+import json
+import os
 from typing import Any, Optional
 
 import jax
@@ -88,6 +90,16 @@ class KernelQTensor:
     # parallel.tp._kernel_tp_ok) while `shape` still records the global dims.
     # Set explicitly by the TP prep path; never inferred from array shapes.
     is_sharded: bool = struct.field(pytree_node=False, default=False)
+    # BITCAST nibble order (4-bit container only): byte row i of wq holds
+    # SIGNED codes (c - 8) for k rows 2i (low nibble) and 2i+1 (high nibble),
+    # matching the TPU's `pltpu.bitcast(uint8 -> int4)` sublane expansion —
+    # the in-kernel unpack is then a single zero-cost bitcast + widen instead
+    # of per-chunk shift/mask VPU chains (measured r5: 4096² decode matmul
+    # 24.7 -> ~18 µs, the shift/mask unpack was the serialized VPU cost that
+    # held w4a8 at ~50% of the HBM byte roofline). The -8 offset rides the
+    # affine dequant for free: zs is stored as (zero - 8)·scale, so every
+    # kernel's `c·scale - zs` epilogue is unchanged.
+    bc4: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def k(self) -> int:
@@ -116,6 +128,35 @@ def _pack_kernel_layout(codes_kn: Array, group_size: int, container_bits: int) -
     return out.reshape(k // r, n)
 
 
+def _pack_bc4(codes_kn: Array) -> Array:
+    """Pack integer codes of W^T [K, N] in TPU bitcast nibble order: byte
+    row i = ((c[2i+1]-8) & 15) << 4 | ((c[2i]-8) & 15). The kernel-side
+    inverse is exactly `pltpu.bitcast(wq, jnp.int4)` (sublane expansion,
+    low nibble first — probed identical native and interpret)."""
+    k, n = codes_kn.shape
+    assert k % 2 == 0
+    s4 = (codes_kn.astype(jnp.int32) - 8) & 15
+    return ((s4[1::2] << 4) | s4[0::2]).astype(jnp.uint8)
+
+
+def unpack_codes_host(kqt: "KernelQTensor") -> Array:
+    """Eager (non-Pallas) unpack of ``kqt.wq`` to integer codes
+    [K_pad, N_pad] in natural k row order. For bc4 layouts the values are the
+    SIGNED codes (c - 8) the kernels consume (pair with the stored ``zs``,
+    which carries the -8 fold); chunk-split layouts return the raw unsigned
+    codes. Debug/inspection/interop helper — the hot path never calls this."""
+    if kqt.bc4:
+        p = kqt.wq.astype(jnp.int32)
+        lo = ((p & 15) ^ 8) - 8          # signed int4 of the low nibble
+        hi = (((p >> 4) & 15) ^ 8) - 8
+        kr, n_pad = p.shape
+        return jnp.stack([lo, hi], axis=1).reshape(kr * 2, n_pad)
+    c3 = _unpack_tile(kqt.wq, kqt.group_size, kqt.container_bits,
+                      kqt.wq.shape[1])
+    ngroups, g, n_pad = c3.shape
+    return c3.reshape(ngroups * g, n_pad)
+
+
 def supports_kernel_layout(qt: QTensor) -> bool:
     """Whether this QTensor can be converted to the fused-kernel layout."""
     if qt.axis != 1 or not qt.channel_wise or qt.group_size is None:
@@ -128,7 +169,8 @@ def supports_kernel_layout(qt: QTensor) -> bool:
 
 
 def to_kernel_layout(
-    qt: QTensor, meta_dtype=jnp.float32, pad_k_groups: int = 8
+    qt: QTensor, meta_dtype=jnp.float32, pad_k_groups: int = 8,
+    bc4: Optional[bool] = None,
 ) -> KernelQTensor:
     """Convert a canonical group-space `QTensor` (axis=1) to kernel layout.
 
@@ -141,6 +183,11 @@ def to_kernel_layout(
     onto a chip) but measured ~30% SLOWER decode on v5e — Mosaic's bf16
     broadcast-multiply path underperforms fp32 — so it is a footprint
     option, not a speed option.
+
+    bc4: use the BITCAST nibble order for the 4-bit container (see
+    `KernelQTensor.bc4`). None (default) = auto: on for 4-bit containers
+    (every kernel consumes it and it is strictly faster), off otherwise.
+    Pass False to force the chunk-split order (layout A/B tests).
 
     pad_k_groups: K is zero-padded to a multiple of ``pad_k_groups·g``
     (padded rows dequantize to exactly 0). 8 is the minimum for the TPU
@@ -179,17 +226,29 @@ def to_kernel_layout(
         scale_kn = jnp.pad(scale_kn, ((0, 0), (0, n_pad - n_out)), constant_values=1.0)
         zero_kn = jnp.pad(zero_kn, ((0, 0), (0, n_pad - n_out)))
 
-    wq = _pack_kernel_layout(codes_kn, g, cb)
+    if bc4 is None:
+        bc4 = cb == 4
+    bc4 = bool(bc4) and cb == 4
+    if bc4:
+        wq = _pack_bc4(codes_kn)
+        # signed codes (c-8): fold the offset into zs so the kernels'
+        # `c·scale - zs` dequant is unchanged. Padded K rows keep scale=0
+        # (dequant to 0); padded N columns get zs=-8·1 matching codes=-8.
+        zs_kn = (zero_kn - 8.0) * scale_kn
+    else:
+        wq = _pack_kernel_layout(codes_kn, g, cb)
+        zs_kn = zero_kn * scale_kn
     dtype = qt.compute_dtype
     return KernelQTensor(
         wq=wq,
         scale=scale_kn.astype(meta_dtype),
-        zs=(zero_kn * scale_kn).astype(meta_dtype),
+        zs=zs_kn.astype(meta_dtype),
         nbits=qt.nbits,
         container_bits=cb,
         group_size=g,
         shape=(k, n_out),
         compute_dtype=dtype,
+        bc4=bc4,
     )
 
 
@@ -212,11 +271,24 @@ def _logical_dims(kqt: KernelQTensor) -> tuple:
 # ---------------------------------------------------------------------------
 
 
-def _unpack_tile(p: Array, g: int, container_bits: int, tn: int) -> Array:
+def _unpack_bc4_2d(p: Array) -> Array:
+    """Unpack a BITCAST-ordered packed tile [TK//2, TN] -> int8 signed codes
+    (c - 8) [TK, TN] in NATURAL k row order. The bitcast is a register
+    relabeling (zero VPU cost); the int4->int8 widen is the only vector op —
+    vs 2 shift/mask chains + a concat for the chunk-split order."""
+    return pltpu.bitcast(p, jnp.int4).astype(jnp.int8)
+
+
+def _unpack_tile(p: Array, g: int, container_bits: int, tn: int,
+                 bc4: bool = False) -> Array:
     """Unpack a packed tile [TK//r, TN] -> 3-D codes [TK//g, g, TN] (int32).
 
     Works in int32: Mosaic has no uint8->float cast, and int32 shifts/masks
-    lower to native VPU ops."""
+    lower to native VPU ops. bc4 tiles hold SIGNED codes (c-8) in natural
+    row order — a plain reshape groups them (zs carries the -8 fold)."""
+    if bc4:
+        c = pltpu.bitcast(p, jnp.int4).astype(jnp.int32)  # [TK, TN]
+        return c.reshape(c.shape[0] // g, g, tn)
     r = 8 // container_bits
     mask = (1 << container_bits) - 1
     tkr, _ = p.shape
@@ -232,7 +304,8 @@ def _unpack_tile(p: Array, g: int, container_bits: int, tn: int) -> Array:
     return jnp.concatenate(chunks, axis=1)  # [n_groups, g, TN]
 
 
-def _qmm_kernel(x_ref, wq_ref, scale_ref, zs_ref, out_ref, acc_ref, *, g, cb, out_dtype):
+def _qmm_kernel(x_ref, wq_ref, scale_ref, zs_ref, out_ref, acc_ref, *, g, cb,
+                out_dtype, bc4=False):
     """One (TM, TN) output tile, accumulating over the K grid dimension."""
     kidx = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -242,7 +315,7 @@ def _qmm_kernel(x_ref, wq_ref, scale_ref, zs_ref, out_ref, acc_ref, *, g, cb, ou
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     tn = wq_ref.shape[-1]
-    c3 = _unpack_tile(wq_ref[:], g, cb, tn)  # [TK//g, g, TN] uint8
+    c3 = _unpack_tile(wq_ref[:], g, cb, tn, bc4)  # [TK//g, g, TN]
     compute_dtype = scale_ref.dtype
     w3 = c3.astype(compute_dtype) * scale_ref[:][:, None, :] - zs_ref[:][:, None, :]
     w = w3.reshape(c3.shape[0] * g, tn)  # [TK, TN]
@@ -274,7 +347,8 @@ def _pick_tile_k(k: int, g: int, target: int = 2048) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nbits", "container_bits", "group_size", "k", "n", "interpret"),
+    static_argnames=("nbits", "container_bits", "group_size", "k", "n",
+                     "interpret", "bc4"),
 )
 def _qmm_call(
     x: Array,
@@ -288,6 +362,7 @@ def _qmm_call(
     k: int,
     n: int,
     interpret: bool = False,
+    bc4: bool = False,
 ) -> Array:
     g = group_size
     cb = container_bits
@@ -309,7 +384,7 @@ def _qmm_call(
     grid = (m_pad // tm, n_pad // tn, k // tk)
 
     out = pl.pallas_call(
-        functools.partial(_qmm_kernel, g=g, cb=cb, out_dtype=x.dtype),
+        functools.partial(_qmm_kernel, g=g, cb=cb, out_dtype=x.dtype, bc4=bc4),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
@@ -374,6 +449,7 @@ def quant_matmul_pallas(
         k=k_arr,
         n=n,
         interpret=interpret,
+        bc4=kqt.bc4,
     )
     return out.reshape(*lead, n)
 
@@ -447,12 +523,13 @@ def _unpack_tile_2d(p: Array, cb: int) -> Array:
 
 def _qmm_a8_decode_kernel(
     xp_ref, wq_ref, scale_ref, zs_ref, out_ref, acc_ref, *, g, cb, s, meff,
-    split=True
+    split=True, bc4=False
 ):
     """Class-replicated deep-dot decode kernel (see section comment).
 
     xp: [meff·s, TK] int8 — row (m·s + q) is slot m's activations masked to
-        the lanes of in-tile group q, lanes permuted to chunk-concat order.
+        the lanes of in-tile group q; lanes in chunk-concat order for the
+        chunk-split pack, NATURAL k order for bc4.
     meff == 1 accumulates partial class sums in 8 acc rows (summed by the
     caller); meff ≥ 8 folds classes in-kernel.
     """
@@ -465,7 +542,16 @@ def _qmm_a8_decode_kernel(
 
     tn = wq_ref.shape[-1]
     tkr = wq_ref.shape[0]
-    if split:
+    if bc4:
+        # bitcast-order pack: unpack is one register relabel + widen, then a
+        # single deep int8 dot — no shift/mask chains on the weight path
+        part = jax.lax.dot_general(
+            xp_ref[:],
+            _unpack_bc4_2d(wq_ref[:]),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    elif split:
         # one dot per bitfield chunk, lhs lane-sliced to the chunk's
         # positions (xp lane order within a tile is chunk-major): no
         # [TK, TN] concat ever materializes, and the per-chunk
@@ -545,34 +631,60 @@ def _a8_tile_plan(n_pad: int, target: int = 4096) -> tuple:
 # for a model's shapes on the real chip.
 # ---------------------------------------------------------------------------
 
-# (k_arr, n_pad, group_size, container_bits, s) -> {"split": bool, "tn": int}
+# (k_arr, n_pad, group_size, container_bits, bc4) ->
+#     {"s": int, "split": bool, "tn": int}
+# s is part of the PLAN now (the tuner may prefer a deeper class tier, e.g.
+# s=64 one-shot K for 4096-deep shapes) — dispatch validates divisibility.
 _A8_PLANS: dict = {}
 
 
 def register_a8_plan(k_arr: int, n_pad: int, group_size: int,
-                     container_bits: int, s: int, *, split: bool, tn: int):
+                     container_bits: int, *, s: int, split: bool = True,
+                     tn: int, bc4: bool = True):
     """Install a measured decode-kernel plan; clears the call caches so a
     re-registered plan takes effect on the next trace."""
-    _A8_PLANS[(k_arr, n_pad, group_size, container_bits, s)] = dict(
-        split=bool(split), tn=int(tn)
+    _A8_PLANS[(k_arr, n_pad, group_size, container_bits, bool(bc4))] = dict(
+        s=int(s), split=bool(split), tn=int(tn)
     )
     _qmm_a8_decode_call.clear_cache()
     _qmm_a8_lora_decode_call.clear_cache()
 
 
-def _a8_plan(k_arr: int, n_pad: int, g: int, cb: int, s: int, meff: int):
-    """(split, tn, n_grid) for a decode-kernel shape."""
-    if meff == 1:
-        p = _A8_PLANS.get((k_arr, n_pad, g, cb, s))
-        if p is not None:
-            tn = min(p["tn"], n_pad)
-            return p["split"], tn, -(-n_pad // tn)
-    target = 4096 if meff == 1 else 2048
-    tn, n_grid = _a8_tile_plan(n_pad, target)
-    return True, tn, n_grid
+def _a8_decode_plan(k_arr: int, n_pad: int, g: int, cb: int, bc4: bool):
+    """(s, split, tn) for an M=1 decode-kernel shape: the registered plan if
+    valid, else the measured heuristic (deepest class tier dividing K, big
+    ragged N tiles)."""
+    p = _A8_PLANS.get((k_arr, n_pad, g, cb, bc4))
+    if p is not None and k_arr % (p["s"] * g) == 0 and p["s"] % 8 == 0:
+        return p["s"], p["split"], min(p["tn"], n_pad)
+    s = 32 if k_arr % (32 * g) == 0 else (16 if k_arr % (16 * g) == 0 else 8)
+    tn, _ = _a8_tile_plan(n_pad, 4096)
+    return s, True, tn
 
 
-# lab-measured winners for the LLaMA-class 7B/13B shapes (g=64, 4-bit)
+def _load_default_plans() -> None:
+    """Install the checked-in autotuned plans (`a8_plans_v5e.json`, written by
+    `tools/autotune_a8.py` on the real chip). Plans only steer tiling — every
+    (s, split, tn) choice is numerically identical — so installing them on a
+    non-v5e backend (CPU tests) is harmless."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "a8_plans_v5e.json")
+    if not os.path.exists(path):
+        return
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        for p in data.get("plans", []):
+            _A8_PLANS[(p["k_arr"], p["n_pad"], p["g"], p["cb"], bool(p["bc4"]))] = (
+                dict(s=int(p["s"]), split=bool(p["split"]), tn=int(p["tn"]))
+            )
+    except (OSError, ValueError, KeyError):  # never let a bad file break import
+        pass
+
+
+# lab-measured winners for the LLaMA-class 7B/13B shapes (g=64, 4-bit,
+# chunk-split order — kept for bc4=False layouts; bc4 plans are installed by
+# `tools/autotune_a8.py` via `a8_plans_v5e.json` below)
 for _k, _n, _s, _split, _tn in [
     (4096, 4096, 32, True, 4096),
     (11264, 4096, 16, True, 4096),
@@ -580,12 +692,15 @@ for _k, _n, _s, _split, _tn in [
     (14336, 5120, 32, False, 5120),  # concat + whole-N deep dot
     (5120, 13824, 16, True, 1536),
 ]:
-    _A8_PLANS[(_k, _n, 64, 4, _s)] = dict(split=_split, tn=_tn)
+    _A8_PLANS[(_k, _n, 64, 4, False)] = dict(s=_s, split=_split, tn=_tn)
+
+_load_default_plans()
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("container_bits", "group_size", "k", "n", "s", "meff", "interpret"),
+    static_argnames=("container_bits", "group_size", "k", "n", "s", "meff",
+                     "interpret", "split", "tn", "bc4"),
 )
 def _qmm_a8_decode_call(
     x8: Array,
@@ -600,6 +715,9 @@ def _qmm_a8_decode_call(
     s: int,
     meff: int,
     interpret: bool = False,
+    split: bool = True,
+    tn: int = 0,
+    bc4: bool = False,
 ) -> Array:
     g, cb = group_size, container_bits
     r = 8 // cb
@@ -611,19 +729,28 @@ def _qmm_a8_decode_call(
         x8 = jnp.pad(x8, ((0, meff - m), (0, 0)))
 
     # Build the class-replicated block-diagonal lhs (XLA, off the hot loop's
-    # weight path): lane order within a tile is (chunk c, group b, offset i)
-    # to match _unpack_tile_2d's concat; row (m·s + q) masks to group b == q.
-    xg = x8.reshape(meff, nt, s, r, g // r).transpose(1, 0, 3, 2, 4)  # [t,m,c,b,i]
+    # weight path); row (m·s + q) masks to in-tile group b == q. Lane order
+    # within a tile: NATURAL k for bc4 (the bitcast unpack preserves row
+    # order), (chunk c, group b, offset i) matching _unpack_tile_2d's concat
+    # otherwise.
     eye = jnp.eye(s, dtype=jnp.int8)
-    xp = xg[:, None] * eye[None, :, None, None, :, None]  # [t,q,m,c,b,i]
-    xp = xp.transpose(2, 1, 0, 3, 4, 5).reshape(meff * s, k)
+    if bc4:
+        xg = x8.reshape(meff, nt, s, g).transpose(1, 0, 2, 3)  # [t,m,b,i]
+        xp = xg[:, None] * eye[None, :, None, :, None]  # [t,q,m,b,i]
+        xp = xp.transpose(2, 1, 0, 3, 4).reshape(meff * s, k)
+    else:
+        xg = x8.reshape(meff, nt, s, r, g // r).transpose(1, 0, 3, 2, 4)  # [t,m,c,b,i]
+        xp = xg[:, None] * eye[None, :, None, None, :, None]  # [t,q,m,c,b,i]
+        xp = xp.transpose(2, 1, 0, 3, 4, 5).reshape(meff * s, k)
 
-    split, tn, n_grid = _a8_plan(k, n_pad, g, cb, s, meff)
-    grid = (n_grid, nt)
+    if not tn:
+        tn, _ = _a8_tile_plan(n_pad, 4096 if meff == 1 else 2048)
+    tn = min(tn, n_pad)
+    grid = (-(-n_pad // tn), nt)
     acc_rows = 8 if meff == 1 else meff
     out = pl.pallas_call(
         functools.partial(_qmm_a8_decode_kernel, g=g, cb=cb, s=s, meff=meff,
-                          split=split),
+                          split=split, bc4=bc4),
         grid=grid,
         in_specs=[
             pl.BlockSpec((meff * s, tk), lambda j, kk: (0, kk), memory_space=pltpu.VMEM),
@@ -646,7 +773,8 @@ def _qmm_a8_decode_call(
     return out[:m, :n]
 
 
-def _qmm_a8_kernel(x3_ref, xsum_ref, wq_ref, scale_ref, zs_ref, out_ref, acc_ref, *, g, cb):
+def _qmm_a8_kernel(x3_ref, xsum_ref, wq_ref, scale_ref, zs_ref, out_ref, acc_ref, *, g, cb,
+                   bc4=False):
     """Batched per-group-dot fallback (any M): one (TM, TN) fp32 output tile
     accumulating over the K grid dim. Activations arrive pre-grouped
     [K/g, M, g] (Mosaic cannot split the lane dim in-kernel) with per-group
@@ -661,8 +789,12 @@ def _qmm_a8_kernel(x3_ref, xsum_ref, wq_ref, scale_ref, zs_ref, out_ref, acc_ref
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     tn = wq_ref.shape[-1]
-    c3 = _unpack_tile(wq_ref[:], g, cb, tn)  # [B, g, TN] int32, values < 2^cb
-    c8 = c3.astype(jnp.int8)
+    if bc4:
+        c8 = _unpack_bc4_2d(wq_ref[:])  # [TK, TN] int8 signed, natural order
+        c8 = c8.reshape(c8.shape[0] // g, g, tn)
+    else:
+        c3 = _unpack_tile(wq_ref[:], g, cb, tn)  # [B, g, TN] int32, < 2^cb
+        c8 = c3.astype(jnp.int8)
 
     # int8×int8 → int32 on the MXU, one dot per group (batched)
     part = jax.lax.dot_general(
@@ -687,7 +819,8 @@ def _qmm_a8_kernel(x3_ref, xsum_ref, wq_ref, scale_ref, zs_ref, out_ref, acc_ref
 
 @functools.partial(
     jax.jit,
-    static_argnames=("container_bits", "group_size", "k", "n", "interpret"),
+    static_argnames=("container_bits", "group_size", "k", "n", "interpret",
+                     "bc4"),
 )
 def _qmm_a8_call(
     x8: Array,
@@ -700,6 +833,7 @@ def _qmm_a8_call(
     k: int,
     n: int,
     interpret: bool = False,
+    bc4: bool = False,
 ) -> Array:
     g, cb = group_size, container_bits
     r = 8 // cb
@@ -724,7 +858,7 @@ def _qmm_a8_call(
 
     grid = (m_pad // tm, n_pad // tn, k // tk)
     out = pl.pallas_call(
-        functools.partial(_qmm_a8_kernel, g=g, cb=cb),
+        functools.partial(_qmm_a8_kernel, g=g, cb=cb, bc4=bc4),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tk // g, tm, g), lambda i, j, kk: (kk, i, 0), memory_space=pltpu.VMEM),
@@ -811,20 +945,24 @@ def quant_matmul_pallas_a8(
     x8, sx = quantize_activations_int8(x2, reduce_axis)
     if k_arr != k_logical:
         x8 = jnp.pad(x8, ((0, 0), (0, k_arr - k_logical)))
+    n_pad = kqt.wq.shape[1]
     common = dict(
         container_bits=kqt.container_bits,
         group_size=kqt.group_size,
         k=k_arr,
         n=n,
         interpret=interpret,
+        bc4=kqt.bc4,
     )
-    if m == 1 and k_arr % (32 * g) == 0:
-        out = _qmm_a8_decode_call(x8, kqt.wq, kqt.scale, kqt.zs, s=32, meff=1, **common)
-    elif m == 1 and k_arr % (16 * g) == 0:
-        # K divisible by 16 groups but not 32 (13B's 5120-wide projections):
-        # s=16 class replication halves the K-grid vs the s=8/meff=8 path and
-        # measured ~6% faster at 5120x13824 M=1 (tools/kernel_lab_a8.py)
-        out = _qmm_a8_decode_call(x8, kqt.wq, kqt.scale, kqt.zs, s=16, meff=1, **common)
+    if m == 1 and k_arr % (8 * g) == 0:
+        s, split, tn = _a8_decode_plan(k_arr, n_pad, g, kqt.container_bits,
+                                       kqt.bc4)
+        if s >= 16:
+            out = _qmm_a8_decode_call(x8, kqt.wq, kqt.scale, kqt.zs,
+                                      s=s, meff=1, split=split, tn=tn, **common)
+        else:
+            out = _qmm_a8_decode_call(x8, kqt.wq, kqt.scale, kqt.zs,
+                                      s=8, meff=8, split=split, tn=tn, **common)
     elif k_arr % (8 * g) == 0:
         out = _qmm_a8_decode_call(
             x8, kqt.wq, kqt.scale, kqt.zs, s=8, meff=_round_up(m, 8), **common
@@ -841,17 +979,19 @@ def quant_matmul_pallas_a8(
 # ---------------------------------------------------------------------------
 
 
-def _dq_kernel(wq_ref, scale_ref, zs_ref, out_ref, *, g, cb):
+def _dq_kernel(wq_ref, scale_ref, zs_ref, out_ref, *, g, cb, bc4=False):
     tn = wq_ref.shape[-1]
-    c3 = _unpack_tile(wq_ref[:], g, cb, tn)
+    c3 = _unpack_tile(wq_ref[:], g, cb, tn, bc4)
     w3 = c3.astype(scale_ref.dtype) * scale_ref[:][:, None, :] - zs_ref[:][:, None, :]
     out_ref[:] = w3.reshape(out_ref.shape)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("container_bits", "group_size", "k", "n", "interpret")
+    jax.jit, static_argnames=("container_bits", "group_size", "k", "n",
+                              "interpret", "bc4")
 )
-def _dq_call(wq, scale, zs, *, container_bits, group_size, k, n, interpret=False):
+def _dq_call(wq, scale, zs, *, container_bits, group_size, k, n, interpret=False,
+             bc4=False):
     g, cb = group_size, container_bits
     r = 8 // cb
     n_pad = wq.shape[1]
@@ -861,7 +1001,7 @@ def _dq_call(wq, scale, zs, *, container_bits, group_size, k, n, interpret=False
     tk = _pick_tile_k(k, g, target=1024)
     grid = (k // tk, n_pad // tn)
     out = pl.pallas_call(
-        functools.partial(_dq_kernel, g=g, cb=cb),
+        functools.partial(_dq_kernel, g=g, cb=cb, bc4=bc4),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tk // r, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
@@ -894,6 +1034,7 @@ def dequant_pallas(
         k=k_arr,
         n=n,
         interpret=interpret,
+        bc4=kqt.bc4,
     )
     return out[:k_logical]
 
@@ -1379,7 +1520,7 @@ def _dequant_pallas_ax0(kqt: KernelQTensor0, interpret: Optional[bool] = None) -
 
 def _qmm_lora_kernel(
     x_ref, wq_ref, scale_ref, zs_ref, a_ref, b_ref, out_ref, acc_ref, p_ref,
-    *, g, cb, out_dtype
+    *, g, cb, out_dtype, bc4=False
 ):
     kidx = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -1390,7 +1531,7 @@ def _qmm_lora_kernel(
         p_ref[:] = jnp.zeros_like(p_ref)
 
     tn = wq_ref.shape[-1]
-    c3 = _unpack_tile(wq_ref[:], g, cb, tn)
+    c3 = _unpack_tile(wq_ref[:], g, cb, tn, bc4)
     compute_dtype = scale_ref.dtype
     w3 = c3.astype(compute_dtype) * scale_ref[:][:, None, :] - zs_ref[:][:, None, :]
     w = w3.reshape(c3.shape[0] * g, tn)
@@ -1419,10 +1560,12 @@ def _qmm_lora_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("container_bits", "group_size", "k", "n", "interpret"),
+    static_argnames=("container_bits", "group_size", "k", "n", "interpret",
+                     "bc4"),
 )
 def _qmm_lora_call(
-    x, wq, scale, zs, a, b, *, container_bits, group_size, k, n, interpret=False
+    x, wq, scale, zs, a, b, *, container_bits, group_size, k, n, interpret=False,
+    bc4=False
 ):
     g, cb = group_size, container_bits
     r = 8 // cb
@@ -1441,7 +1584,8 @@ def _qmm_lora_call(
 
     grid = (m_pad // tm, n_pad // tn, k // tk)
     out = pl.pallas_call(
-        functools.partial(_qmm_lora_kernel, g=g, cb=cb, out_dtype=x.dtype),
+        functools.partial(_qmm_lora_kernel, g=g, cb=cb, out_dtype=x.dtype,
+                          bc4=bc4),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
@@ -1464,7 +1608,7 @@ def _qmm_lora_call(
 
 def _qmm_a8_lora_decode_kernel(
     xp_ref, wq_ref, scale_ref, zs_ref, xa_ref, b_ref, out_ref, acc_ref,
-    *, g, cb, s, meff
+    *, g, cb, s, meff, bc4=False
 ):
     """Class-replicated a8 decode kernel + LoRA epilogue (BASELINE config 4:
     adapters fused into the fast dequant-matmul). The rank-r partial
@@ -1481,14 +1625,21 @@ def _qmm_a8_lora_decode_kernel(
 
     tn = wq_ref.shape[-1]
     tkr = wq_ref.shape[0]
-    part = None  # chunk-split dots, same as _qmm_a8_decode_kernel
-    for j, cj in enumerate(_unpack_chunks_2d(wq_ref[:], cb)):
-        pj = jax.lax.dot_general(
-            xp_ref[:, j * tkr:(j + 1) * tkr], cj,
+    if bc4:
+        part = jax.lax.dot_general(
+            xp_ref[:], _unpack_bc4_2d(wq_ref[:]),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        part = pj if part is None else part + pj
+    else:
+        part = None  # chunk-split dots, same as _qmm_a8_decode_kernel
+        for j, cj in enumerate(_unpack_chunks_2d(wq_ref[:], cb)):
+            pj = jax.lax.dot_general(
+                xp_ref[:, j * tkr:(j + 1) * tkr], cj,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            part = pj if part is None else part + pj
     xsum = jnp.sum(xp_ref[:].astype(jnp.float32), axis=1, keepdims=True)
     if meff == 1:
         contrib = part.astype(jnp.float32) * scale_ref[:] - xsum * zs_ref[:]
@@ -1510,7 +1661,8 @@ def _qmm_a8_lora_decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("container_bits", "group_size", "k", "n", "s", "meff", "interpret"),
+    static_argnames=("container_bits", "group_size", "k", "n", "s", "meff",
+                     "interpret", "split", "tn", "bc4"),
 )
 def _qmm_a8_lora_decode_call(
     x8: Array,
@@ -1527,6 +1679,9 @@ def _qmm_a8_lora_decode_call(
     s: int,
     meff: int,
     interpret: bool = False,
+    split: bool = True,
+    tn: int = 0,
+    bc4: bool = False,
 ) -> Array:
     g, cb = group_size, container_bits
     r = 8 // cb
@@ -1538,19 +1693,28 @@ def _qmm_a8_lora_decode_call(
         x8 = jnp.pad(x8, ((0, meff - m), (0, 0)))
 
     # identical block-diagonal class-replicated lhs as _qmm_a8_decode_call
-    xg = x8.reshape(meff, nt, s, r, g // r).transpose(1, 0, 3, 2, 4)
+    # (natural k lane order for bc4, chunk-major otherwise)
     eye = jnp.eye(s, dtype=jnp.int8)
-    xp = xg[:, None] * eye[None, :, None, None, :, None]
-    xp = xp.transpose(2, 1, 0, 3, 4, 5).reshape(meff * s, k)
+    if bc4:
+        xg = x8.reshape(meff, nt, s, g).transpose(1, 0, 2, 3)
+        xp = xg[:, None] * eye[None, :, None, :, None]
+        xp = xp.transpose(2, 1, 0, 3, 4).reshape(meff * s, k)
+    else:
+        xg = x8.reshape(meff, nt, s, r, g // r).transpose(1, 0, 3, 2, 4)
+        xp = xg[:, None] * eye[None, :, None, None, :, None]
+        xp = xp.transpose(2, 1, 0, 3, 4, 5).reshape(meff * s, k)
 
     acc_rows = 8 if meff == 1 else meff
     r_pad = b.shape[0]
     xa_p = jnp.zeros((acc_rows, r_pad), jnp.float32).at[: xa.shape[0]].set(xa)
 
-    _, tn, n_grid = _a8_plan(k, n_pad, g, cb, s, meff)
-    grid = (n_grid, nt)
+    if not tn:
+        tn, _ = _a8_tile_plan(n_pad, 4096 if meff == 1 else 2048)
+    tn = min(tn, n_pad)
+    grid = (-(-n_pad // tn), nt)
     out = pl.pallas_call(
-        functools.partial(_qmm_a8_lora_decode_kernel, g=g, cb=cb, s=s, meff=meff),
+        functools.partial(_qmm_a8_lora_decode_kernel, g=g, cb=cb, s=s, meff=meff,
+                          bc4=bc4),
         grid=grid,
         in_specs=[
             pl.BlockSpec((meff * s, tk), lambda j, kk: (0, kk), memory_space=pltpu.VMEM),
@@ -1617,16 +1781,21 @@ def quant_matmul_pallas_a8_lora(
 
     common = dict(
         container_bits=kqt.container_bits, group_size=g,
-        k=k_arr, n=n, interpret=interpret,
+        k=k_arr, n=n, interpret=interpret, bc4=kqt.bc4,
     )
-    if m == 1 and k_arr % (32 * g) == 0:
-        out = _qmm_a8_lora_decode_call(
-            x8, kqt.wq, kqt.scale, kqt.zs, xa_p, b_p, s=32, meff=1, **common
-        )
-    elif m == 1 and k_arr % (16 * g) == 0:
-        out = _qmm_a8_lora_decode_call(
-            x8, kqt.wq, kqt.scale, kqt.zs, xa_p, b_p, s=16, meff=1, **common
-        )
+    if m == 1 and k_arr % (8 * g) == 0:
+        s, split, tn = _a8_decode_plan(k_arr, n_arr, g, kqt.container_bits,
+                                       kqt.bc4)
+        if s >= 16:
+            out = _qmm_a8_lora_decode_call(
+                x8, kqt.wq, kqt.scale, kqt.zs, xa_p, b_p, s=s, meff=1,
+                split=split, tn=tn, **common
+            )
+        else:
+            out = _qmm_a8_lora_decode_call(
+                x8, kqt.wq, kqt.scale, kqt.zs, xa_p, b_p, s=8, meff=8,
+                split=split, tn=tn, **common
+            )
     else:
         out = _qmm_a8_lora_decode_call(
             x8, kqt.wq, kqt.scale, kqt.zs, xa_p, b_p, s=8,
@@ -1666,6 +1835,6 @@ def quant_matmul_pallas_lora(
     out = _qmm_lora_call(
         x2, kqt.wq, kqt.scale, kqt.zs, a_p, b_p,
         container_bits=kqt.container_bits, group_size=kqt.group_size,
-        k=k_arr, n=n, interpret=interpret,
+        k=k_arr, n=n, interpret=interpret, bc4=kqt.bc4,
     )
     return out.reshape(*lead, n)

@@ -93,13 +93,10 @@ def test_kernel_layout_roundtrip(nbits, rng):
     assert fused_matmul.supports_kernel_layout(qt)
     kqt = fused_matmul.to_kernel_layout(qt)
     # kernel-layout dequant (plain jnp reconstruction) == canonical dequant
-    r = kqt.r
-    from hqq_tpu.ops.fused_matmul import _unpack_tile
+    from hqq_tpu.ops.fused_matmul import unpack_codes_host
 
-    codes = np.asarray(_unpack_tile(kqt.wq, kqt.group_size, kqt.container_bits,
-                                    kqt.wq.shape[1]))
     k, n_pad = 256, kqt.wq.shape[1]
-    w_t = codes.reshape(k // kqt.group_size, kqt.group_size, n_pad).reshape(k, n_pad)
+    w_t = np.asarray(unpack_codes_host(kqt))[:k]
     w_rec = (w_t * np.repeat(np.asarray(kqt.scale), kqt.group_size, 0)
              - np.repeat(np.asarray(kqt.zs), kqt.group_size, 0))
     w_dq = np.asarray(layer.dequantize(jnp.float32))

@@ -1,18 +1,20 @@
 # SPDX-License-Identifier: Apache-2.0
 """Autotune the w4a8 decode-kernel tile plans on the real chip.
 
-The best (dot structure, N-tile) combination is shape-dependent (see
-`fused_matmul._A8_PLANS`); this tool measures the candidate set for each
+The best (class tier s, dot structure, N-tile) combination is shape-dependent
+(see `fused_matmul._A8_PLANS`); this tool measures the candidate set for each
 requested weight shape with the production dispatch and registers/prints the
 winners — the role gemlite's kernel autotuner plays for the reference
 (`/root/reference/hqq/backends/gemlite.py`). A model has only a handful of
 distinct projection shapes, so a full tune is a few minutes.
 
+Winners are written to `hqq_tpu/ops/a8_plans_v5e.json` (checked in; installed
+at import time by `fused_matmul` when running on a matching chip) and echoed
+as `register_a8_plan(...)` lines.
+
 Usage:
     PYTHONPATH=/root/repo:/root/.axon_site python tools/autotune_a8.py \
         [NxK ...]            # default: llama 7B/13B/70B projection shapes
-Writes winners to stdout as register_a8_plan(...) lines and to
-`a8_plans.json` next to this script (loadable via `load_plans_json`).
 """
 
 import json
@@ -34,24 +36,35 @@ from tools.bench_kernels import time_scan
 enable_compile_cache()
 
 DEFAULT_SHAPES = [
-    # llama-7B / 13B / 70B projection shapes (N, K)
+    # llama-7B / 13B / 70B projection shapes (N, K), incl. fused qkv/gate_up
     (4096, 4096), (11008, 4096), (4096, 11008),
+    (12288, 4096), (22016, 4096),
     (5120, 5120), (13824, 5120), (5120, 13824),
+    (15360, 5120), (27648, 5120),
     (8192, 8192), (1024, 8192), (28672, 8192), (8192, 28672),
 ]
 
 
-def _candidates(n_pad: int, s: int):
-    """Candidate (split, tn) plans for a shape."""
-    cands = []
-    for target in (1536, 2048, 4096):
+def _candidates(k_arr: int, n_pad: int, g: int, bc4: bool):
+    """Candidate (s, split, tn) plans for a shape. For bc4 layouts the kernel
+    has a single dot structure (split is ignored), so only tn and the class
+    tier s vary; chunk-split layouts additionally try the concat-dot."""
+    s_opts = [s for s in (64, 32, 16, 8) if k_arr % (s * g) == 0]
+    if not s_opts:
+        return []
+    tns = []
+    for target in (1536, 2048, 4096, 6144):
         tn, _ = fm._a8_tile_plan(n_pad, target)
-        for split in (True, False):
-            if (split, tn) not in cands:
-                cands.append((split, tn))
-    if n_pad <= 8192 and (True, n_pad) not in cands:  # whole-N tile
-        cands.append((True, n_pad))
-        cands.append((False, n_pad))
+        if tn not in tns:
+            tns.append(tn)
+    if n_pad <= 8192 and n_pad not in tns:  # whole-N tile
+        tns.append(n_pad)
+    cands = []
+    for s in s_opts:
+        for tn in tns:
+            splits = (True,) if bc4 else (True, False)
+            for split in splits:
+                cands.append((s, split, tn))
     return cands
 
 
@@ -68,11 +81,7 @@ def tune(shapes, g=64, iters=4):
         kqt = fm.to_kernel_layout(qt, pad_k_groups=_a8_pad_k_groups(qt))
         k_arr = kqt.wq.shape[0] * kqt.r
         n_pad = kqt.wq.shape[1]
-        s = 32 if k_arr % (32 * g) == 0 else (16 if k_arr % (16 * g) == 0 else 8)
-        if s == 8:
-            print(f"[{k}x{n}] s=8 (meff path) — no plan table entry; skipping")
-            continue
-        key = (k_arr, n_pad, g, kqt.container_bits, s)
+        key = (k_arr, n_pad, g, kqt.container_bits, kqt.bc4)
         stacked = jax.tree_util.tree_map(lambda a: jnp.stack([a] * L), kqt)
 
         def step(w, x):
@@ -81,52 +90,53 @@ def tune(shapes, g=64, iters=4):
             return (x + jnp.pad(y[:, :mm] * 1e-6, ((0, 0), (0, k - mm)))).astype(x.dtype)
 
         results = []
-        for split, tn in _candidates(n_pad, s):
-            fm.register_a8_plan(*key, split=split, tn=tn)
+        for s, split, tn in _candidates(k_arr, n_pad, g, kqt.bc4):
+            fm.register_a8_plan(*key[:4], s=s, split=split, tn=tn, bc4=key[4])
             try:
                 t = time_scan(step, stacked, x1, iters=iters)
             except Exception as e:
-                print(f"  [{k}x{n}] split={split} tn={tn}: FAILED "
+                print(f"  [{k}x{n}] s={s} split={split} tn={tn}: FAILED "
                       f"{type(e).__name__}: {str(e)[:120]}")
                 continue
-            results.append((t, split, tn))
-            print(f"  [{k}x{n}] split={split} tn={tn}: {t*1e6:.1f}us")
+            results.append((t, s, split, tn))
+            print(f"  [{k}x{n}] s={s} split={split} tn={tn}: {t*1e6:.1f}us")
         if not results:
             continue
-        t, split, tn = min(results)
-        winners[key] = dict(split=split, tn=tn, us=round(t * 1e6, 1))
-        fm.register_a8_plan(*key, split=split, tn=tn)
-        print(f"[{k}x{n}] WINNER split={split} tn={tn} ({t*1e6:.1f}us)")
+        t, s, split, tn = min(results)
+        winners[key] = dict(s=s, split=split, tn=tn, us=round(t * 1e6, 1))
+        fm.register_a8_plan(*key[:4], s=s, split=split, tn=tn, bc4=key[4])
+        print(f"[{k}x{n}] WINNER s={s} split={split} tn={tn} ({t*1e6:.1f}us)")
         del stacked
     return winners
 
 
-def load_plans_json(path):
-    """Install plans previously written by this tool."""
-    with open(path) as f:
-        data = json.load(f)
-    for item in data:
-        fm.register_a8_plan(item["k_arr"], item["n_pad"], item["g"],
-                            item["cb"], item["s"],
-                            split=item["split"], tn=item["tn"])
-
-
 def main():
-    print(f"[{jax.devices()[0].device_kind}]")
+    kind = jax.devices()[0].device_kind
+    print(f"[{kind}]")
     if len(sys.argv) > 1:
         shapes = [tuple(int(x) for x in a.split("x")) for a in sys.argv[1:]]
+        merge = True
     else:
         shapes = DEFAULT_SHAPES
+        merge = False
     winners = tune(shapes)
-    out = [dict(k_arr=k[0], n_pad=k[1], g=k[2], cb=k[3], s=k[4], **v)
+    out = [dict(k_arr=k[0], n_pad=k[1], g=k[2], cb=k[3], bc4=k[4], **v)
            for k, v in winners.items()]
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "a8_plans.json")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "hqq_tpu", "ops", "a8_plans_v5e.json")
+    if merge and os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f).get("plans", [])
+        keys = {(p["k_arr"], p["n_pad"], p["g"], p["cb"], p["bc4"]) for p in out}
+        out = [p for p in prior
+               if (p["k_arr"], p["n_pad"], p["g"], p["cb"], p["bc4"]) not in keys] + out
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump({"device_kind": kind, "plans": out}, f, indent=1)
     print(f"wrote {path}")
-    for item in out:
-        print(f"register_a8_plan({item['k_arr']}, {item['n_pad']}, {item['g']}, "
-              f"{item['cb']}, {item['s']}, split={item['split']}, tn={item['tn']})")
+    for p in out:
+        print(f"register_a8_plan({p['k_arr']}, {p['n_pad']}, {p['g']}, "
+              f"{p['cb']}, s={p['s']}, split={p['split']}, tn={p['tn']}, "
+              f"bc4={p['bc4']})")
 
 
 if __name__ == "__main__":
