@@ -36,7 +36,14 @@ def test_example_runs(script):
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # Hermetic CPU: the axon TPU plugin registers via a sitecustomize on
+    # PYTHONPATH and OVERRIDES JAX_PLATFORMS=cpu (it silently routed these
+    # subprocesses to the real chip, 1 device, TPU matmul precision) — strip
+    # the site dir and its trigger env var.
+    inherited = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                 if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([_REPO] + inherited)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     # shared persistent compile cache (examples reuse model shapes)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".cache", "jax"))
     proc = subprocess.run(
