@@ -1,5 +1,5 @@
 # SPDX-License-Identifier: Apache-2.0
-from .mesh import make_mesh, local_mesh  # noqa: F401
+from .mesh import make_mesh, make_hybrid_mesh, local_mesh  # noqa: F401
 from .sharding import shard_params, tree_shardings  # noqa: F401
 from .tp import (  # noqa: F401
     AllGatherLinear,

@@ -23,7 +23,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "local_mesh", "init_multihost", "P", "NamedSharding"]
+__all__ = ["make_mesh", "make_hybrid_mesh", "local_mesh", "init_multihost",
+           "P", "NamedSharding"]
 
 
 def make_mesh(
@@ -45,6 +46,45 @@ def make_mesh(
         model = n // data
     assert data * model <= n, f"mesh {data}x{model} needs more than {n} devices"
     arr = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(arr, axis_names)
+
+
+def make_hybrid_mesh(
+    dcn: int = 1,
+    data: int = 1,
+    model: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+    axis_names: tuple = ("dcn", "data", "model"),
+) -> Mesh:
+    """Hierarchical DCN x ICI mesh: the outer ``dcn`` axis strides across
+    host/process granules (collectives over it ride the data-center network),
+    the inner ``data``/``model`` axes stay within a granule (ICI). The
+    idiomatic scale-out geometry is DP-over-dcn x TP-over-ici: weight-heavy
+    all-reduces never leave a slice, only the (small) gradient/data exchange
+    crosses DCN (scaling-book recipe; the reference has no comm story at
+    all — SURVEY §5.8).
+
+    Placement is guaranteed, not hoped for: devices are ordered by
+    (process_index, device id) and the dcn axis is the outermost reshape
+    dimension, so every (data, model) sub-grid is contained in one process
+    granule whenever ``dcn`` divides ``process_count``. On a single process
+    (CPU-virtual testing) the granules are contiguous device blocks.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    devices.sort(key=lambda d: (d.process_index, d.id))
+    n = len(devices)
+    if model is None:
+        assert n % (dcn * data) == 0, (n, dcn, data)
+        model = n // (dcn * data)
+    need = dcn * data * model
+    assert need <= n, f"mesh {dcn}x{data}x{model} needs more than {n} devices"
+    nproc = max(jax.process_count(), 1)
+    if nproc > 1:
+        assert nproc % dcn == 0, (
+            f"dcn={dcn} must divide process_count={nproc} so inner axes stay "
+            f"on ICI"
+        )
+    arr = np.asarray(devices[:need]).reshape(dcn, data, model)
     return Mesh(arr, axis_names)
 
 

@@ -67,6 +67,35 @@ _WORKER = textwrap.dedent("""
     # replicated scalars: identical on every process by construction
     print("CHECKSUM %.6e %.6e" % (float(jnp.sum(jnp.abs(logits))),
                                   float(jnp.sum(jnp.abs(cache.k)))))
+
+    # ---- hierarchical DCN x ICI mesh across the two REAL processes:
+    # dcn axis == process boundary (DP gradient reduce rides DCN), the
+    # model axis stays inside one process's devices (TP on ICI) ----
+    import numpy as np
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from hqq_tpu.parallel.mesh import make_hybrid_mesh
+
+    hmesh = make_hybrid_mesh(dcn=2, data=1, model=4)
+    dev = np.asarray(hmesh.devices)
+    procs = np.vectorize(lambda d: d.process_index)(dev)
+    for gidx in range(2):
+        assert len(set(procs[gidx].flat)) == 1, "granule spans processes"
+    assert procs[0].flat[0] != procs[1].flat[0], "dcn axis not across hosts"
+
+    # behavioral placement check: psum('model') combines one process's
+    # values only; psum('dcn') combines one value per process
+    x = jnp.arange(8.0).reshape(2, 1, 4)
+    spec = P("dcn", "data", "model")
+    with hmesh:
+        got_m = shard_map(lambda v: jax.lax.psum(v, "model"), mesh=hmesh,
+                          in_specs=spec, out_specs=spec)(x)
+        got_d = shard_map(lambda v: jax.lax.psum(v, "dcn"), mesh=hmesh,
+                          in_specs=spec, out_specs=spec)(x)
+    with hmesh:
+        s_m = float(jax.jit(jnp.sum)(got_m))  # replicated scalar, SPMD-safe
+        s_d = float(jax.jit(jnp.sum)(got_d))
+    print("HYBRID %.6e %.6e" % (s_m, s_d))
 """)
 
 
@@ -113,10 +142,17 @@ def test_two_process_distributed_tp_forward(tmp_path):
         outs.append(out)
 
     sums = []
+    hybrids = []
     for out in outs:
         line = [ln for ln in out.splitlines() if ln.startswith("CHECKSUM")][0]
         sums.append(tuple(float(x) for x in line.split()[1:]))
+        hline = [ln for ln in out.splitlines() if ln.startswith("HYBRID")][0]
+        hybrids.append(tuple(float(x) for x in hline.split()[1:]))
     assert sums[0] == sums[1], f"processes disagree: {sums}"
+    # hybrid-mesh psums: model-axis sum combines one granule (6 and 22,
+    # x4 lanes each -> 112 total); dcn-axis sum pairs one value per granule
+    # (total 56) — wrong collective placement changes these constants
+    assert hybrids[0] == hybrids[1] == (112.0, 56.0), hybrids
 
     # single-process reference on the SAME mesh geometry (8 local devices)
     from hqq_tpu.core.quantize import BaseQuantizeConfig

@@ -236,3 +236,92 @@ def test_tp_serving_gqa_70b_shape_w4a8():
         out, _ = fwd(tp_params, tokens, cache, 0)
     g, r = np.asarray(out), np.asarray(ref)
     assert np.abs(g - r).max() / np.abs(r).max() < 0.05
+
+
+def test_hybrid_mesh_layout_and_collective_placement():
+    """make_hybrid_mesh: the outer 'dcn' axis strides across host granules,
+    inner axes stay inside one granule — asserted BEHAVIORALLY: a psum over
+    'model' must only combine values from one granule, a psum over 'dcn'
+    must combine exactly one value per granule (≙ TP all-reduces on ICI, DP
+    gradient reduce on DCN; SURVEY §5.8 / VERDICT r4 item 6)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from hqq_tpu.parallel.mesh import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(dcn=2, data=1, model=4)
+    assert mesh.axis_names == ("dcn", "data", "model")
+    dev = np.asarray(mesh.devices)
+    assert dev.shape == (2, 1, 4)
+    # granule = all devices of one dcn index: one process each (virtual CPU
+    # devices share a process; ids must at least be the contiguous blocks the
+    # constructor guarantees)
+    ids = np.vectorize(lambda d: d.id)(dev)
+    procs = np.vectorize(lambda d: d.process_index)(dev)
+    for gidx in range(2):
+        assert len(set(procs[gidx].flat)) == 1, "granule spans processes"
+    assert sorted(ids.flat) == list(range(8))
+    assert set(ids[0].flat) == set(range(4)) and set(ids[1].flat) == set(range(4, 8))
+
+    # device-id-valued operand, fully sharded
+    x = jnp.arange(8.0).reshape(2, 1, 4)
+
+    def model_psum(v):
+        return jax.lax.psum(v, "model")
+
+    def dcn_psum(v):
+        return jax.lax.psum(v, "dcn")
+
+    spec = P("dcn", "data", "model")
+    with mesh:
+        got_m = shard_map(model_psum, mesh=mesh, in_specs=spec,
+                          out_specs=spec)(x)
+        got_d = shard_map(dcn_psum, mesh=mesh, in_specs=spec,
+                          out_specs=spec)(x)
+    # psum over model: every element of granule g == sum of that granule only
+    exp_m = np.repeat(np.asarray([[ [0+1+2+3] ], [[4+5+6+7]]], np.float32), 4, -1)
+    np.testing.assert_array_equal(np.asarray(got_m), exp_m)
+    # psum over dcn: element (i) pairs with its same-position peer in the
+    # OTHER granule — exactly one value per granule crosses DCN
+    exp_d = np.asarray(x) + np.asarray(x)[::-1]
+    np.testing.assert_array_equal(np.asarray(got_d), exp_d)
+
+
+def test_hybrid_mesh_dp_over_dcn_train_step():
+    """DP-over-dcn x TP-over-model GSPMD train step on the hybrid mesh: the
+    batch shards over the DCN axis, weights over the ICI model axis, loss is
+    finite and matches the flat-mesh loss (geometry changes placement, not
+    math)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hqq_tpu.core.peft import PeftUtils, TrainableParams, lora_config
+    from hqq_tpu.parallel.mesh import make_hybrid_mesh
+    from hqq_tpu.utils.training import make_lora_train_step
+
+    cfg = LlamaConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+    lp = PeftUtils.add_lora(q, lora_config(r=4, lora_alpha=4))
+
+    losses = {}
+    for name, mesh, bspec in (
+        ("hybrid", make_hybrid_mesh(dcn=2, data=1, model=4), P("dcn", None)),
+        ("flat", make_mesh(data=2, model=4), P("data", None)),
+    ):
+        lparams = shard_params(lp, mesh)
+        trainable = TrainableParams(lparams)
+        train_vals = trainable.values()
+        optimizer = optax.adamw(1e-3)
+        opt_state = optimizer.init(train_vals)
+        step = make_lora_train_step(cfg, trainable, optimizer)
+        batch = jax.device_put(
+            jnp.ones((4, 16), jnp.int32), NamedSharding(mesh, bspec)
+        )
+        with mesh:
+            _, _, loss = step(train_vals, opt_state, lparams, batch)
+            loss.block_until_ready()
+        assert bool(jnp.isfinite(loss)), (name, loss)
+        losses[name] = float(loss)
+    assert abs(losses["hybrid"] - losses["flat"]) < 1e-4, losses

@@ -92,11 +92,16 @@ def tune(shapes, g=64, iters=4):
         results = []
         for s, split, tn in _candidates(k_arr, n_pad, g, kqt.bc4):
             fm.register_a8_plan(*key[:4], s=s, split=split, tn=tn, bc4=key[4])
-            try:
-                t = time_scan(step, stacked, x1, iters=iters)
-            except Exception as e:
+            t = None
+            for attempt in (0, 1):  # axon remote-compile 500s are sporadic
+                try:
+                    t = time_scan(step, stacked, x1, iters=iters)
+                    break
+                except Exception as e:
+                    err = e
+            if t is None:
                 print(f"  [{k}x{n}] s={s} split={split} tn={tn}: FAILED "
-                      f"{type(e).__name__}: {str(e)[:120]}")
+                      f"{type(err).__name__}: {str(err)[:120]}")
                 continue
             results.append((t, s, split, tn))
             print(f"  [{k}x{n}] s={s} split={split} tn={tn}: {t*1e6:.1f}us")
