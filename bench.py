@@ -54,7 +54,7 @@ def detect_bw() -> float:
 
 
 def build_quantized_llama(cfg, nbits=4, group_size=64, dtype=jnp.bfloat16, seed=0,
-                          backend="int8", quantize_head=False):
+                          backend="int8", quantize_head=False, meta_dtype=None):
     """Build the model layer-by-layer, quantizing each projection as it is
     created so peak HBM stays ~1 layer above the quantized footprint.
 
@@ -93,8 +93,8 @@ def build_quantized_llama(cfg, nbits=4, group_size=64, dtype=jnp.bfloat16, seed=
         if backend == "int8":
             return patch_quantlinear_to_int8(layer)
         if backend == "w4a8":
-            return patch_quantlinear_to_w4a8(layer)
-        return patch_quantlinear_to_pallas(layer)
+            return patch_quantlinear_to_w4a8(layer, meta_dtype)
+        return patch_quantlinear_to_pallas(layer, meta_dtype)
 
     layers = []
     for _ in range(cfg.num_hidden_layers):
@@ -675,6 +675,23 @@ def main():
     if params is not None:
         del params
     gc.collect()
+
+    # ---- bf16 scale/zs storage: -12.5% weight-stream bytes, bf16-meta
+    # dequant envelope instead of exact (the quality/speed knob
+    # prepare_for_inference(..., meta_dtype=bf16) exposes) ----
+    if on_tpu:
+        try:
+            pbf = build("w4a8", meta_dtype=jnp.bfloat16)
+            extra["tok_s_bf16meta"] = round(measure_decode(pbf, batch=1, reps=2), 2)
+            bpt_bf = count_decode_bytes(pbf, cfg, cache_len)
+            extra["pct_hbm_bf16meta"] = round(
+                100 * extra["tok_s_bf16meta"] * bpt_bf / detect_bw(), 1)
+            print(f"# bf16-meta decode: {extra['tok_s_bf16meta']} tok/s "
+                  f"({extra['pct_hbm_bf16meta']}% HBM)", file=sys.stderr)
+            del pbf
+            gc.collect()
+        except Exception as e:  # noqa: BLE001
+            print(f"# bf16-meta row failed: {e!r}", file=sys.stderr)
 
     # ---- int8 requant path (2x the memory; prefill champion) ----
     try:

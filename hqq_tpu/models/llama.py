@@ -583,6 +583,7 @@ def _attention_paged(
     sin: Array,
     window: "int | None" = None,
     q_scale: "float | None" = None,
+    seq_axis: "str | None" = None,
 ):
     """Attention over a paged pool: same projections / q-k norms / RoPE as
     `_attention`, but K/V land in pages and attention runs the paged kernel
@@ -590,6 +591,8 @@ def _attention_paged(
     rows are written first, then query j attends keys < lengths+j+1 —
     exactly history + candidates 0..j (causal). `q_scale` overrides the
     1/sqrt(hd) query scaling (granite's attention_multiplier).
+    `seq_axis` (inside shard_map, pool page-sharded over it): writes land
+    only on the owning shard and attention runs the sequence-parallel merge.
     Returns (out, cache)."""
     from ..ops.paged import paged_attn, write_token_to_pages
 
@@ -614,11 +617,20 @@ def _attention_paged(
     pos_bt = lengths[:, None] + jnp.arange(t)[None, :]  # [B, T]
     page_of = jnp.take_along_axis(page_indices, pos_bt // pg, axis=1)
     offset = pos_bt % pg
+    if seq_axis is not None:
+        # pool is page-sharded over seq_axis in contiguous blocks: convert to
+        # LOCAL page ids; non-owned rows get an OOB sentinel and are dropped
+        rank = jax.lax.axis_index(seq_axis)
+        p_local = cache.k.shape[2]
+        lidx = page_of - rank * p_local
+        owned = (lidx >= 0) & (lidx < p_local)
+        page_of = jnp.where(owned, lidx, p_local)
     # one flattened [B*T]-row scatter per pool (see write_token_to_pages)
     kw = k.transpose(0, 2, 1, 3).reshape(b * t, nkv, hd)
     vw = v.transpose(0, 2, 1, 3).reshape(b * t, nkv, hd)
     cache = write_token_to_pages(
-        cache, layer_idx, kw, vw, page_of.reshape(-1), offset.reshape(-1)
+        cache, layer_idx, kw, vw, page_of.reshape(-1), offset.reshape(-1),
+        drop_oob=seq_axis is not None,
     )
     qdt = jnp.float32 if cache.quantized else cache.k.dtype
     scale = (hd**-0.5) if q_scale is None else q_scale
@@ -627,7 +639,7 @@ def _attention_paged(
         [
             paged_attn(
                 qd[:, :, j], cache, layer_idx, lengths + j + 1, page_indices,
-                window=window,
+                window=window, seq_axis=seq_axis,
             )
             for j in range(t)
         ],
@@ -645,6 +657,7 @@ def _forward_paged(
     lengths: Array,  # [B]
     page_indices: Array,
     mlp_fn=None,  # (layer_dict, x) -> x; MoE families inject their block
+    seq_axis: "str | None" = None,
 ) -> Tuple[Array, Any]:
     """One paged step for all slots (t=1 decode; t=k speculative verify).
     Shares every architectural detail with the dense `forward` — this is the
@@ -662,6 +675,7 @@ def _forward_paged(
         attn_out, cache = _attention_paged(
             layer["self_attn"], cfg, h, cache, i, lengths, page_indices,
             cos, sin, window=getattr(cfg, "sliding_window", None),
+            seq_axis=seq_axis,
         )
         x = x + attn_out
         h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
@@ -693,6 +707,7 @@ def forward(
     kv_valid: Optional[Array] = None,
     inputs_embeds: Optional[Array] = None,
     page_indices: Optional[Array] = None,
+    seq_axis: Optional[str] = None,
 ) -> Tuple[Array, Optional[KVCache]]:
     """Run the model over `tokens` [B, T] starting at `start_pos`.
 
@@ -710,7 +725,8 @@ def forward(
 
     if isinstance(cache, PagedKVCache):
         return _forward_paged(
-            params, cfg, tokens, cache, jnp.asarray(start_pos), page_indices
+            params, cfg, tokens, cache, jnp.asarray(start_pos), page_indices,
+            seq_axis=seq_axis,
         )
     if inputs_embeds is not None:
         x = inputs_embeds

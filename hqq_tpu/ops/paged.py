@@ -103,25 +103,33 @@ def write_token_to_pages(
     vb: Array,
     page_of: Array,  # [B] physical page holding each slot's next position
     offset: Array,  # [B] row offset within the page
+    drop_oob: bool = False,
 ) -> PagedKVCache:
     """Write one new K/V row per slot into its page: ONE scatter per pool
     (advanced indexing with [B] page/offset vectors) rather than B
     dynamic_update_slices — at 8 slots × 32 layers a per-slot loop was
-    thousands of tiny update ops per decode step."""
+    thousands of tiny update ops per decode step.
+
+    drop_oob=True discards rows whose page index is out of range (scatter
+    mode='drop') — the sequence-parallel path marks non-owned pages with an
+    OOB sentinel so only the owning shard writes."""
     import dataclasses
 
+    mode = "drop" if drop_oob else None
     k_pool, v_pool = cache.k, cache.v
     ks_pool, vs_pool = cache.k_scales, cache.v_scales
     if cache.quantized:
         kq, ks = quant_rows(kb)
         vq, vs = quant_rows(vb)
-        k_pool = k_pool.at[layer_idx, :, page_of, offset].set(kq)
-        v_pool = v_pool.at[layer_idx, :, page_of, offset].set(vq)
-        ks_pool = ks_pool.at[layer_idx, :, page_of, offset].set(ks)
-        vs_pool = vs_pool.at[layer_idx, :, page_of, offset].set(vs)
+        k_pool = k_pool.at[layer_idx, :, page_of, offset].set(kq, mode=mode)
+        v_pool = v_pool.at[layer_idx, :, page_of, offset].set(vq, mode=mode)
+        ks_pool = ks_pool.at[layer_idx, :, page_of, offset].set(ks, mode=mode)
+        vs_pool = vs_pool.at[layer_idx, :, page_of, offset].set(vs, mode=mode)
     else:
-        k_pool = k_pool.at[layer_idx, :, page_of, offset].set(kb.astype(k_pool.dtype))
-        v_pool = v_pool.at[layer_idx, :, page_of, offset].set(vb.astype(v_pool.dtype))
+        k_pool = k_pool.at[layer_idx, :, page_of, offset].set(
+            kb.astype(k_pool.dtype), mode=mode)
+        v_pool = v_pool.at[layer_idx, :, page_of, offset].set(
+            vb.astype(v_pool.dtype), mode=mode)
     return dataclasses.replace(
         cache, k=k_pool, v=v_pool, k_scales=ks_pool, v_scales=vs_pool
     )
@@ -176,6 +184,60 @@ def paged_attention_ref(
     return jnp.einsum("bhs,bhsd->bhd", probs, v_seq)
 
 
+def paged_attention_sp(
+    q: Array,  # [B, nh, hd] (pre-scaled)
+    k_pages: Array,  # LOCAL shard [H, P_local, pg, hd]
+    v_pages: Array,
+    lengths: Array,  # [B] int32 (global)
+    page_indices: Array,  # [B, MP] int32 GLOBAL page ids
+    axis_name: str,
+) -> Array:
+    """Sequence-parallel paged decode attention: the page pool is sharded
+    over `axis_name` in contiguous blocks (device r owns global pages
+    [r*P_local, (r+1)*P_local)); each device computes an online-softmax
+    partial over ITS pages and the partials merge with one pmax + two psums
+    — contexts longer than one chip's pool decode as one SPMD program
+    (VERDICT r4 item 10 / SURVEY §5.7). The merge collectives ride ICI via
+    shard_map; a fused Pallas partial-attention kernel is the further
+    optimization point (this gather form is the correctness/placement
+    substrate, like `paged_attention_ref` for the single-chip path)."""
+    b, nh, hd = q.shape
+    h, p_local, pg, _ = k_pages.shape
+    rank = jax.lax.axis_index(axis_name)
+    lidx = page_indices - rank * p_local  # [B, MP], local page ids
+    owned = (lidx >= 0) & (lidx < p_local)
+    safe = jnp.where(owned, lidx, 0)
+
+    k_seq = jnp.take(k_pages, safe, axis=1)  # [H, B, MP, pg, hd]
+    v_seq = jnp.take(v_pages, safe, axis=1)
+    mp = page_indices.shape[1]
+    s_max = mp * pg
+    k_seq = k_seq.transpose(1, 0, 2, 3, 4).reshape(b, h, s_max, hd)
+    v_seq = v_seq.transpose(1, 0, 2, 3, 4).reshape(b, h, s_max, hd)
+    rep = nh // h
+    if rep > 1:
+        k_seq = jnp.repeat(k_seq, rep, axis=1)
+        v_seq = jnp.repeat(v_seq, rep, axis=1)
+
+    scores = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32),
+                        k_seq.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    neg = jnp.finfo(jnp.float32).min
+    key_pos = jnp.arange(s_max)[None, :]
+    valid = (key_pos < lengths[:, None]) & jnp.repeat(owned, pg, axis=1)
+    scores = jnp.where(valid[:, None, :], scores, neg)
+
+    # online-softmax partial merge across the axis
+    m_loc = jnp.max(scores, axis=-1, keepdims=True)  # [B, nh, 1]
+    m_glob = jax.lax.pmax(m_loc, axis_name)
+    e = jnp.where(valid[:, None, :], jnp.exp(scores - m_glob), 0.0)
+    num = jnp.einsum("bhs,bhsd->bhd", e, v_seq.astype(jnp.float32))
+    den = jnp.sum(e, axis=-1, keepdims=True)
+    num = jax.lax.psum(num, axis_name)
+    den = jax.lax.psum(den, axis_name)
+    return (num / jnp.maximum(den, 1e-30)).astype(q.dtype)
+
+
 def paged_attn(
     q: Array,
     cache: PagedKVCache,
@@ -186,9 +248,22 @@ def paged_attn(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sinks: Optional[Array] = None,
+    seq_axis: Optional[str] = None,
 ) -> Array:
     """Dispatch: Pallas kernel on TPU for plain-causal layers; gather-based
-    implementation for window/softcap/sink layers and off-TPU."""
+    implementation for window/softcap/sink layers and off-TPU. With
+    `seq_axis` (inside shard_map, pool page-sharded over that axis) the
+    sequence-parallel merge path runs instead."""
+    if seq_axis is not None:
+        k_pages, v_pages = cache.k[layer_idx], cache.v[layer_idx]
+        if cache.quantized:
+            k_pages = k_pages.astype(jnp.float32) * (cache.k_scales[layer_idx] / 127.0)
+            v_pages = v_pages.astype(jnp.float32) * (cache.v_scales[layer_idx] / 127.0)
+        assert window is None and softcap is None and sinks is None, (
+            "sequence-parallel decode supports plain causal attention"
+        )
+        return paged_attention_sp(q, k_pages, v_pages, lengths, page_indices,
+                                  seq_axis)
     k_pages, v_pages = cache.k[layer_idx], cache.v[layer_idx]
     ks = None if cache.k_scales is None else cache.k_scales[layer_idx]
     vs = None if cache.v_scales is None else cache.v_scales[layer_idx]

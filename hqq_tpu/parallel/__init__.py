@@ -13,3 +13,4 @@ from .tp import (  # noqa: F401
 )
 from .ring import ring_attention, ring_attention_sharded  # noqa: F401
 from .cp import cp_forward_fn  # noqa: F401
+from .sp import sp_paged_forward_fn  # noqa: F401

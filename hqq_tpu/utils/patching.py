@@ -33,7 +33,7 @@ a symmetric kernel can be used (≙ ref `utils/patching.py:193-257`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
 
@@ -117,6 +117,58 @@ def prepare_for_inference(params: Any, backend="pallas", verbose: bool = False,
     if verbose:
         print(f"prepare_for_inference[{backend}]: {stats}")
     return out
+
+
+def auto_mix_plan(params: Any, hbm_budget_bytes: Optional[int] = None,
+                  reserve_bytes: int = 0) -> Dict[str, str]:
+    """Auto-build the per-tag backend plan `prepare_for_inference` accepts
+    (VERDICT r4 item 7): int8 is the prefill-rate backend (dense int8 MXU
+    dots measured 1.3-2x the fused w4a8 prefill route,
+    tools/kernel_lab_prefill.py) at ~1 byte/param; w4a8 is the half-memory
+    backend (~0.56 byte/param incl. fp32 meta) with the best M=1 decode.
+    The plan starts all-int8 (fastest prefill) and demotes the LARGEST tags
+    to w4a8 until the weight footprint fits `hbm_budget_bytes` minus
+    `reserve_bytes` (KV pool, activations). No budget -> all int8.
+
+    This generalizes the measured 13B recipe (int8 attention + w4a8 FFN fits
+    one 16 GB chip at int8 speed where it matters — docs/SERVING.md) to any
+    model tree, replacing hand-picked per-tag dicts."""
+    from ..models.base import name_to_linear_tag
+    from ..nn.linear import QuantLinear
+
+    # per-tag parameter counts over quantized leaves
+    sizes: Dict[str, int] = {}
+
+    def visit(node, path=""):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                visit(v, f"{path}.{k}" if path else k)
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                visit(v, f"{path}.{i}" if path else str(i))
+        elif isinstance(node, QuantLinear):
+            tag = name_to_linear_tag(path)
+            n, k = node.qweight.shape
+            g = node.qweight.group_size or 64
+            p_int8, p_w4a8 = sizes.get(tag, (0, 0))
+            sizes[tag] = (p_int8 + n * k,
+                          p_w4a8 + n * k // 2 + (n * k // max(g, 1)) * 8)
+
+    visit(params)
+    plan = {tag: "int8" for tag in sizes}
+    if hbm_budget_bytes is None:
+        return plan
+
+    def footprint():
+        return sum(sizes[t][0] if plan[t] == "int8" else sizes[t][1]
+                   for t in sizes)
+
+    budget = hbm_budget_bytes - reserve_bytes
+    for tag in sorted(sizes, key=lambda t: sizes[t][0], reverse=True):
+        if footprint() <= budget:
+            break
+        plan[tag] = "w4a8"
+    return plan
 
 
 def _concat_linears(layers, pad_to: int = 512):

@@ -155,3 +155,53 @@ def test_fuse_for_decode_gemma2_granite():
         got, _ = mod.forward(fused, cfg, tokens, cache2, 0)
         rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
         assert rel < 0.05, (mod.__name__, rel)
+
+
+def test_auto_mix_plan():
+    """auto_mix_plan: all-int8 with no budget; demotes the LARGEST tags to
+    w4a8 under a budget; all-w4a8 under a tight one; the plan feeds straight
+    into prepare_for_inference and the model still runs."""
+    import numpy as np
+
+    from hqq_tpu.core.quantize import BaseQuantizeConfig
+    from hqq_tpu.models import LlamaConfig, init_params, quantize_model
+    from hqq_tpu.models import llama
+    from hqq_tpu.utils.patching import auto_mix_plan, prepare_for_inference
+
+    cfg = LlamaConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q = quantize_model(params, BaseQuantizeConfig(nbits=4, group_size=32),
+                       compute_dtype=jnp.float32)
+
+    plan = auto_mix_plan(q)
+    assert plan and all(b == "int8" for b in plan.values())
+
+    # total int8 footprint, then budget for ~60% of it: the biggest tags
+    # (mlp projections) must demote first
+    full = auto_mix_plan(q, hbm_budget_bytes=1 << 60)
+    tight = auto_mix_plan(q, hbm_budget_bytes=1)
+    assert all(b == "w4a8" for b in tight.values())
+
+    # per-tag param sizes: find a budget between the extremes
+    sizes = {}
+    from hqq_tpu.models.base import iter_linears, name_to_linear_tag
+    from hqq_tpu.nn.linear import QuantLinear as QL
+
+    for path, lin in iter_linears(q):
+        if isinstance(lin, QL):
+            n, k = lin.qweight.shape
+            sizes[name_to_linear_tag(path)] = sizes.get(name_to_linear_tag(path), 0) + n * k
+    # g=32 w4a8 ≈ 0.75 B/param, int8 = 1 B/param: 0.9x sits between extremes
+    total = sum(sizes.values())
+    plan_mid = auto_mix_plan(q, hbm_budget_bytes=int(total * 0.9))
+    assert "int8" in plan_mid.values() and "w4a8" in plan_mid.values(), plan_mid
+    # the largest tag demotes first
+    biggest = max(sizes, key=sizes.get)
+    assert plan_mid[biggest] == "w4a8", (biggest, plan_mid)
+
+    mixed = prepare_for_inference(q, plan_mid)
+    toks = jnp.asarray([[3, 7, 11]], jnp.int32)
+    l1, _ = llama.forward(mixed, cfg, toks)
+    l0, _ = llama.forward(q, cfg, toks)
+    rel = np.abs(np.asarray(l1) - np.asarray(l0)).max() / np.abs(np.asarray(l0)).max()
+    assert rel < 0.05, rel

@@ -188,3 +188,30 @@ def test_8bit_codes_fall_back_to_bf16_kernel():
     got = np.asarray(quant_matmul_pallas_a8(x, kqt), np.float32)
     rel = np.abs(got - expected).max() / np.abs(expected).max()
     assert rel < 2e-5, rel
+
+
+def test_bf16_meta_w4a8_close():
+    """bf16 scale/zs storage (the -12.5% HBM knob, prepare_for_inference
+    meta_dtype=jnp.bfloat16): same kernel, meta rounded to bf16 — output
+    must stay within the bf16-meta envelope of the fp32-meta (exact) path."""
+    from hqq_tpu.core.quantize import dequantize
+
+    g, nbits = 64, 4
+    w = jax.random.normal(jax.random.PRNGKey(3), (256, 2048), jnp.float32) / 45
+    qt = quantize(w, nbits=nbits, group_size=g, axis=1, round_zero=True)
+    kqt32 = to_kernel_layout(qt, pad_k_groups=32)
+    kqt16 = to_kernel_layout(qt, pad_k_groups=32, meta_dtype=jnp.bfloat16)
+    assert kqt16.scale.dtype == jnp.bfloat16 and kqt16.zs.dtype == jnp.bfloat16
+    for m in (1, 8):
+        x = jax.random.normal(jax.random.PRNGKey(m), (m, 2048), jnp.float32) / 10
+        y32 = np.asarray(quant_matmul_pallas_a8(x, kqt32), np.float32)
+        y16 = np.asarray(quant_matmul_pallas_a8(x, kqt16), np.float32)
+        rel = np.abs(y16 - y32).max() / np.abs(y32).max()
+        assert rel < 2e-2, (m, rel)
+    # dequant path too (serialization/export reads through it)
+    w32 = np.asarray(dequantize(qt, jnp.float32))
+    from hqq_tpu.ops.fused_matmul import dequant_pallas
+
+    w16 = np.asarray(dequant_pallas(kqt16), np.float32)[:2048].T
+    rel = np.abs(w16 - w32).max() / np.abs(w32).max()
+    assert rel < 2e-2, rel

@@ -115,6 +115,35 @@ def main():
     print(f"4b. engine deterministic: {toks[0]}")
     assert toks[0] == toks[1], toks
 
+    # 6. sequence-parallel paged decode on-chip (1-device mesh: degenerate
+    # merge, but the shard_map path + masked page writes compile and run on
+    # real hardware) and an auto-mixed per-tag engine
+    from hqq_tpu.parallel import make_mesh, sp_paged_forward_fn
+    from hqq_tpu.serving.paged import PagedBatchingEngine
+    from hqq_tpu.utils.patching import auto_mix_plan
+
+    mesh1 = make_mesh(data=1, model=len(jax.devices()))
+    spfwd = sp_paged_forward_fn(mesh1, cfg, page_size=4)
+    eng = PagedBatchingEngine(q, cfg, batch_slots=2, num_pages=16, page_size=4,
+                              max_pages_per_seq=8, cache_dtype=jnp.float32,
+                              forward_fn=spfwd)
+    uid = eng.add_request([3, 7, 11, 5], max_new_tokens=8)
+    with mesh1:
+        out6 = eng.run()
+    eng.close()
+    assert len(out6[uid]) == 8, out6
+    print(f"6. sp paged decode on-chip: {out6[uid]}")
+
+    plan = auto_mix_plan(q, hbm_budget_bytes=1 << 40)
+    mixed = prepare_for_inference(q, plan)
+    eng = ContinuousBatchingEngine(mixed, cfg, batch_slots=2, max_len=64,
+                                   cache_dtype=jnp.float32)
+    uid = eng.add_request([3, 7, 11, 5], max_new_tokens=8)
+    out7 = eng.run()
+    eng.close()
+    assert len(out7[uid]) == 8, out7
+    print(f"7. auto-mix engine ({set(plan.values())}): {out7[uid]}")
+
     # 5. same-run timing
     for name, t in (("bc4", kqt), ("chunksplit", kqt_cs)):
         L = 48
