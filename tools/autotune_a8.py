@@ -49,11 +49,11 @@ def _candidates(k_arr: int, n_pad: int, g: int, bc4: bool):
     """Candidate (s, split, tn) plans for a shape. For bc4 layouts the kernel
     has a single dot structure (split is ignored), so only tn and the class
     tier s vary; chunk-split layouts additionally try the concat-dot."""
-    s_opts = [s for s in (64, 32, 16, 8) if k_arr % (s * g) == 0]
+    s_opts = [s for s in (128, 64, 32, 16, 8) if k_arr % (s * g) == 0]
     if not s_opts:
         return []
     tns = []
-    for target in (1536, 2048, 4096, 6144):
+    for target in (1024, 1536, 2048, 4096, 6144):
         tn, _ = fm._a8_tile_plan(n_pad, target)
         if tn not in tns:
             tns.append(tn)
